@@ -1,0 +1,288 @@
+"""BiAligner — the public alignment API.
+
+Mirrors the reference class ``bialignment.BiAligner`` (bialignment.pyx:
+155-832) in surface and observable behaviour, but the implementation is a
+different design: scoring matrices are precomputed dense int32 tables
+(:mod:`bialign_tpu.scoring.tables`), the band fill runs on one of several
+engines (numpy oracle / XLA wavefront scan / Pallas TPU kernel), and the
+traceback walks the filled band iteratively on host in exact reference
+order.
+
+Engine selection (``engine=`` parameter, default "auto"):
+
+* ``"numpy"``  — cell-by-cell host oracle (:mod:`bialign_tpu.ops.reference_dp`)
+* ``"xla"``    — jit-compiled anti-diagonal wavefront (:mod:`bialign_tpu.ops.xla_dp`)
+* ``"pallas"`` — Pallas TPU kernel (:mod:`bialign_tpu.ops.pallas_dp`)
+* ``"auto"``   — pallas on TPU, else xla, falling back to numpy if JAX is
+  unavailable.
+
+All engines are validated bit-exact against each other (tests/), so
+`optimize()`, `traceback()` and every decode method produce reference-
+identical output regardless of engine.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from .models.molecule import MoleculeError, preprocess_molecule
+from .ops import reference_dp, traceback as tb
+from .render import decode as render_decode
+from .scoring.tables import build_score_tables
+from .ops.cases import (
+    NEG_INF,
+    N_STATES,
+    STATES,
+    check_int32_safe,
+    iter_affine_cases,
+    guard_case,
+    NonAffineTables,
+)
+
+# Reference parameter defaults (bialign.py:25-96).  The reference requires
+# every key to be present in **params (KeyError otherwise); we default
+# missing keys to the CLI defaults, a strict superset of accepted inputs.
+PARAM_DEFAULTS = {
+    "type": "RNA",
+    "sequence_match_similarity": 100,
+    "sequence_mismatch_similarity": 0,
+    "structure_weight": 400,
+    "gap_opening_cost": 0,
+    "gap_cost": -200,
+    "shift_cost": -250,
+    "max_shift": 2,
+    "simmatrix": None,
+    "nameA": "A",
+    "nameB": "B",
+}
+
+
+def _select_engine(name: str) -> str:
+    if name != "auto":
+        return name
+    try:
+        import jax
+
+        if any(d.platform == "tpu" for d in jax.devices()):
+            return "pallas"
+        return "xla"
+    except Exception:
+        return "numpy"
+
+
+class BiAligner:
+    """Bi-alignment of two molecules (sequences + secondary structures).
+
+    Usage matches the reference (README.md:170-207): construct with the two
+    sequences, two structures and keyword parameters, then ``optimize()``,
+    ``decode_trace()`` / ``decode_trace_full()`` / ``eval_trace()``.
+    """
+
+    nl = render_decode.NL_ROW
+    outmodes = render_decode.OUTMODES
+
+    def __init__(self, seqA, seqB, strA, strB, *, engine: str = "auto",
+                 **params):
+        self._params = dict(PARAM_DEFAULTS)
+        self._params.update(params)
+        self._engine = _select_engine(engine)
+
+        try:
+            self.molA = preprocess_molecule(seqA, strA, is_rna=self._is_rna)
+            self.molB = preprocess_molecule(seqB, strB, is_rna=self._is_rna)
+        except MoleculeError as e:
+            self.error(str(e))
+
+        self.gamma = int(self._params["gap_cost"])
+        self.beta = int(self._params["gap_opening_cost"])
+        self.delta = int(self._params["shift_cost"])
+        self.max_shift = int(self._params["max_shift"])
+
+        self.mu1, self.mu2 = build_score_tables(
+            self.molA, self.molB, self._params, is_rna=self._is_rna
+        )
+
+        self._H = None  # filled band: [Q,n+1,m+1,W,W] affine / [n+1,m+1,W,W]
+
+    # -- properties --------------------------------------------------------
+
+    @property
+    def _is_rna(self) -> bool:
+        return self._params["type"] == "RNA"
+
+    @property
+    def _affine(self) -> bool:
+        return int(self._params["gap_opening_cost"]) != 0
+
+    @staticmethod
+    def error(text):
+        print("ERROR:", text)
+        sys.exit(-1)
+
+    # -- scoring accessors (1-based, reference pyx:435-440) ----------------
+
+    def mu1_at(self, i: int, j: int) -> int:
+        return int(self.mu1[i, j])
+
+    def mu2_at(self, k: int, l: int) -> int:
+        return int(self.mu2[k, l])
+
+    # -- fill --------------------------------------------------------------
+
+    def _fill(self):
+        n = self.molA["len"]
+        m = self.molB["len"]
+        engine = self._engine
+        if engine in ("xla", "pallas") and not check_int32_safe(
+            self.mu1, self.mu2, self._params
+        ):
+            engine = "numpy"  # int32 range cannot be certified: use oracle
+
+        if engine == "numpy":
+            if self._affine:
+                self._H = reference_dp.fill_affine(
+                    self.mu1, self.mu2, self.max_shift, self.beta,
+                    self.gamma, self.delta,
+                )
+            else:
+                self._H = reference_dp.fill_nonaffine(
+                    self.mu1, self.mu2, self.max_shift, self.gamma, self.delta
+                )
+        elif engine in ("xla", "pallas"):
+            from .ops import xla_dp
+
+            use_pallas = engine == "pallas"
+            if self._affine:
+                self._H = xla_dp.fill_affine(
+                    self.mu1, self.mu2, self.max_shift, self.beta,
+                    self.gamma, self.delta, pallas=use_pallas,
+                )
+            else:
+                self._H = xla_dp.fill_nonaffine(
+                    self.mu1, self.mu2, self.max_shift, self.gamma,
+                    self.delta, pallas=use_pallas,
+                )
+        else:
+            raise ValueError(f"unknown engine {engine!r}")
+        return n, m
+
+    def optimize(self):
+        """Fill the DP band; return the optimal score (pyx:443-509)."""
+        n, m = self._fill()
+        if self._affine:
+            return reference_dp.affine_score_from_band(
+                self._H, n, m, self.max_shift
+            )
+        return reference_dp.nonaffine_score_from_band(
+            self._H, n, m, self.max_shift
+        )
+
+    # -- traceback ---------------------------------------------------------
+
+    def traceback(self):
+        """Trace arrows of one optimal alignment (pyx:513-586)."""
+        if self._H is None:
+            self.optimize()
+        if self._affine:
+            trace, complete = tb.affine_traceback(
+                self._H, self.mu1, self.mu2, self.max_shift, self.beta,
+                self.gamma, self.delta,
+            )
+            if not complete:
+                print("WARNING: incomplete traceback. Alignment could be garbage.")
+            return trace
+        return tb.nonaffine_traceback(
+            self._H, self.mu1, self.mu2, self.max_shift, self.gamma,
+            self.delta,
+        )
+
+    # -- decoding ----------------------------------------------------------
+
+    def decode_trace_full(self, trace=None):
+        if trace is None:
+            trace = self.traceback()
+        return render_decode.decode_trace_full(
+            trace, self.molA, self.molB,
+            nameA=self._params["nameA"], nameB=self._params["nameB"],
+            is_rna=self._is_rna,
+        )
+
+    def decode_trace(self, trace=None):
+        return render_decode.decode_trace(
+            self.decode_trace_full(trace),
+            outmode=self._params.get("outmode") or "default",
+            nodescription=bool(self._params.get("nodescription")),
+        )
+
+    # -- verbose evaluation (CLI -v; pyx:745-832) ---------------------------
+
+    def eval_trace(self, trace=None):
+        if self._affine:
+            yield from self._eval_affine_trace(trace)
+            return
+        if trace is None:
+            trace = self.traceback()
+
+        tab = NonAffineTables(self.gamma, self.delta)
+        cols = [tuple(int(v) for v in c) for c in tab.cols]
+        S = self.max_shift
+
+        idx = [0] * 4
+        for y in trace:
+            for k in range(4):
+                idx[k] += y[k]
+            i, j, k, l = idx
+            for ci, col in enumerate(cols):
+                if col == tuple(y):
+                    case_score = (
+                        int(tab.const[ci])
+                        + int(tab.mu1_coef[ci]) * self.mu1_at(i, j)
+                        + int(tab.mu2_coef[ci]) * self.mu2_at(k, l)
+                    )
+                    pred = self._H[
+                        i - col[0], j - col[1],
+                        (k - col[2]) - (i - col[0]) + S,
+                        (l - col[3]) - (j - col[1]) + S,
+                    ]
+                    yield " ".join(
+                        str(item)
+                        for item in [idx, tuple(y), case_score, "-->",
+                                     int(pred) + case_score]
+                    )
+                    break
+
+    def _eval_affine_trace(self, trace=None):
+        """Replay an affine trace, yielding debug lines (pyx:745-800)."""
+        from .ops.cases import affine_score_multiplicities
+
+        if trace is None:
+            trace = self.traceback()
+
+        def update_state(x, y):
+            y = list(y)
+            if y[0] == 0 and y[1] == 0:
+                y[0], y[1] = x[0], x[1]
+            if y[2] == 0 and y[3] == 0:
+                y[2], y[3] = x[2], x[3]
+            return y
+
+        total_score = 0
+        state = [1, 1, 1, 1]
+        idx = [0] * 4
+        for y in trace:
+            for k in range(4):
+                idx[k] += y[k]
+            i, j, k, l = idx
+            mu1c, mu2c, ng, nb, nd = affine_score_multiplicities(state, y)
+            score = (
+                ng * self.gamma + nb * self.beta + nd * self.delta
+                + mu1c * self.mu1_at(i, j) + mu2c * self.mu2_at(k, l)
+            )
+            total_score += score
+            state = update_state(state, y)
+            yield " ".join(
+                str(item)
+                for item in [idx, list(y), score, "-->", total_score]
+            )
