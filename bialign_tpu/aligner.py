@@ -13,8 +13,8 @@ Engine selection (``engine=`` parameter, default "auto"):
 * ``"numpy"``  — cell-by-cell host oracle (:mod:`bialign_tpu.ops.reference_dp`)
 * ``"xla"``    — jit-compiled anti-diagonal wavefront (:mod:`bialign_tpu.ops.xla_dp`)
 * ``"pallas"`` — Pallas TPU kernel (:mod:`bialign_tpu.ops.pallas_dp`)
-* ``"auto"``   — pallas on TPU, else xla, falling back to numpy if JAX is
-  unavailable.
+* ``"auto"``   — xla when JAX is importable, else numpy.  (The pallas
+  engine is selected explicitly while it matures.)
 
 All engines are validated bit-exact against each other (tests/), so
 `optimize()`, `traceback()` and every decode method produce reference-
@@ -65,8 +65,7 @@ def _select_engine(name: str) -> str:
     try:
         import jax
 
-        if any(d.platform == "tpu" for d in jax.devices()):
-            return "pallas"
+        jax.devices()
         return "xla"
     except Exception:
         return "numpy"

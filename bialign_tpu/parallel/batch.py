@@ -1,0 +1,146 @@
+"""Batched, sharded bi-alignment scoring.
+
+The reference is single-pair, single-threaded (SURVEY.md §2.4: no
+parallelism of any kind).  This module provides the TPU-native scaling
+axis: data parallelism over independent pairs.
+
+Pipeline:
+  1. pairs are bucketed by padded length (multiples of ``bucket_quantum``)
+     so one compilation serves a whole bucket;
+  2. per pair, dense int32 score tables are padded to the bucket shape and
+     converted to diagonal layout on host;
+  3. a ``vmap`` of the traced-length wavefront scan
+     (:func:`bialign_tpu.ops.xla_dp.affine_score_traced`) scores the whole
+     batch on device; per-pair true lengths ride along as data, so padding
+     never changes scores (validated in tests/test_batch.py);
+  4. with a :class:`jax.sharding.Mesh`, the batch axis is sharded over the
+     ``"data"`` axis — XLA partitions the scan SPMD, scores are gathered by
+     the output sharding (fully replicated gather = one small collective).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import xla_dp
+
+
+def quantize(x: int, q: int) -> int:
+    return ((max(x, 1) + q - 1) // q) * q
+
+
+def pad_table(mu: np.ndarray, N: int, M: int) -> np.ndarray:
+    """Zero-pad a (n+1, m+1) score table to (N+1, M+1).
+
+    Padded entries are only read by cells outside the genuine region
+    (i > n or j > m), which never feed genuine cells (the recurrence is
+    monotone in (i, j)), so the pad value cannot change any score.
+    """
+    out = np.zeros((N + 1, M + 1), dtype=np.int32)
+    out[: mu.shape[0], : mu.shape[1]] = mu
+    return out
+
+
+@dataclass
+class Bucket:
+    """One padded shape bucket of pairs awaiting scoring."""
+
+    N: int
+    M: int
+    indices: list = field(default_factory=list)   # position in user order
+    mu1d: list = field(default_factory=list)
+    mu2d: list = field(default_factory=list)
+    n: list = field(default_factory=list)
+    m: list = field(default_factory=list)
+
+
+def make_buckets(tables, max_shift: int, bucket_quantum: int = 64):
+    """Group (mu1, mu2) pairs into padded-shape buckets.
+
+    ``tables``: iterable of (mu1, mu2) int32 arrays (shape (n+1, m+1)).
+    Returns a dict keyed by (N, M).
+    """
+    buckets: dict = {}
+    for idx, (mu1, mu2) in enumerate(tables):
+        n = mu1.shape[0] - 1
+        m = mu1.shape[1] - 1
+        N = quantize(n, bucket_quantum)
+        M = quantize(m, bucket_quantum)
+        b = buckets.setdefault((N, M), Bucket(N, M))
+        m1d, m2d = xla_dp._diag_mu_tables(
+            pad_table(np.asarray(mu1), N, M),
+            pad_table(np.asarray(mu2), N, M),
+            max_shift,
+        )
+        b.indices.append(idx)
+        b.mu1d.append(np.asarray(m1d))
+        b.mu2d.append(np.asarray(m2d))
+        b.n.append(n)
+        b.m.append(m)
+    return buckets
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _batched_affine(mu1d, mu2d, n, m, max_shift, params, _bucket_shape):
+    fn = functools.partial(
+        xla_dp.affine_score_traced, max_shift=max_shift, params=params
+    )
+    return jax.vmap(fn)(mu1d, mu2d, n, m)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _batched_nonaffine(mu1d, mu2d, n, m, max_shift, params, _bucket_shape):
+    fn = functools.partial(
+        xla_dp.nonaffine_score_traced, max_shift=max_shift, params=params
+    )
+    return jax.vmap(fn)(mu1d, mu2d, n, m)
+
+
+def _device_put_sharded(arr, mesh):
+    if mesh is None:
+        return arr
+    spec = P("data", *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def score_batch(tables, max_shift: int, params, *, affine: bool,
+                mesh: Mesh | None = None, bucket_quantum: int = 64):
+    """Score a batch of pairs; returns int scores in input order.
+
+    ``params``: (beta, gamma, delta) for affine, (gamma, delta) otherwise.
+    With ``mesh``, every bucket's batch axis is sharded over mesh axis
+    "data" (pad the batch to a multiple of the axis size).
+    """
+    tables = list(tables)
+    buckets = make_buckets(tables, max_shift, bucket_quantum)
+    out = np.zeros(len(tables), dtype=np.int64)
+
+    for (N, M), b in buckets.items():
+        B = len(b.indices)
+        Bp = B
+        if mesh is not None:
+            ds = mesh.shape["data"]
+            Bp = ((B + ds - 1) // ds) * ds
+        pad = Bp - B
+
+        mu1d = np.stack(b.mu1d + [b.mu1d[-1]] * pad)
+        mu2d = np.stack(b.mu2d + [b.mu2d[-1]] * pad)
+        n = np.asarray(b.n + [b.n[-1]] * pad, dtype=np.int32)
+        m = np.asarray(b.m + [b.m[-1]] * pad, dtype=np.int32)
+
+        args = [
+            _device_put_sharded(jnp.asarray(x), mesh)
+            for x in (mu1d, mu2d, n, m)
+        ]
+        fn = _batched_affine if affine else _batched_nonaffine
+        scores = np.asarray(fn(*args, max_shift, tuple(params), (N, M)))
+        for pos, idx in enumerate(b.indices):
+            out[idx] = scores[pos]
+    return out

@@ -1,0 +1,71 @@
+"""Batched + sharded scoring must equal per-pair oracle scores exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from bialign_tpu.ops import reference_dp
+from bialign_tpu.parallel import batch as pbatch
+
+
+def _rand_pair(rng, n, m):
+    mu1 = np.zeros((n + 1, m + 1), dtype=np.int32)
+    mu2 = np.zeros((n + 1, m + 1), dtype=np.int32)
+    mu1[1:, 1:] = rng.integers(-400, 900, size=(n, m))
+    mu2[1:, 1:] = rng.integers(-400, 900, size=(n, m))
+    return mu1, mu2
+
+
+SIZES = [(5, 7), (8, 8), (3, 12), (12, 3), (1, 1), (6, 6), (9, 4), (7, 7)]
+
+
+@pytest.fixture(scope="module")
+def pairs():
+    rng = np.random.default_rng(42)
+    return [_rand_pair(rng, n, m) for n, m in SIZES]
+
+
+def _oracle_scores(pairs, S, beta, gamma, delta, affine):
+    out = []
+    for mu1, mu2 in pairs:
+        n, m = mu1.shape[0] - 1, mu1.shape[1] - 1
+        if affine:
+            H = reference_dp.fill_affine(mu1, mu2, S, beta, gamma, delta)
+            out.append(reference_dp.affine_score_from_band(H, n, m, S))
+        else:
+            H = reference_dp.fill_nonaffine(mu1, mu2, S, gamma, delta)
+            out.append(reference_dp.nonaffine_score_from_band(H, n, m, S))
+    return np.asarray(out)
+
+
+def test_batched_affine_matches_oracle(pairs):
+    S, beta, gamma, delta = 1, -150, -50, -150
+    want = _oracle_scores(pairs, S, beta, gamma, delta, True)
+    got = pbatch.score_batch(
+        pairs, S, (beta, gamma, delta), affine=True, bucket_quantum=8
+    )
+    assert (got == want).all()
+
+
+def test_batched_nonaffine_matches_oracle(pairs):
+    S, gamma, delta = 2, -200, -250
+    want = _oracle_scores(pairs, S, 0, gamma, delta, False)
+    got = pbatch.score_batch(
+        pairs, S, (gamma, delta), affine=False, bucket_quantum=8
+    )
+    assert (got == want).all()
+
+
+def test_sharded_affine_matches_oracle(pairs):
+    S, beta, gamma, delta = 1, -150, -50, -150
+    devices = np.array(jax.devices())
+    assert len(devices) == 8, "conftest should provide 8 virtual devices"
+    mesh = Mesh(devices, ("data",))
+    want = _oracle_scores(pairs, S, beta, gamma, delta, True)
+    got = pbatch.score_batch(
+        pairs, S, (beta, gamma, delta), affine=True, mesh=mesh,
+        bucket_quantum=16,
+    )
+    assert (got == want).all()

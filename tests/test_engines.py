@@ -1,0 +1,92 @@
+"""Cross-engine equivalence: every accelerated engine must reproduce the
+numpy oracle band cell-for-cell (SURVEY.md §4 test strategy item (c))."""
+
+import numpy as np
+import pytest
+
+from bialign_tpu.ops import reference_dp, xla_dp
+
+
+def _rand_tables(rng, n, m, lo=-500, hi=900):
+    mu1 = np.zeros((n + 1, m + 1), dtype=np.int32)
+    mu2 = np.zeros((n + 1, m + 1), dtype=np.int32)
+    mu1[1:, 1:] = rng.integers(lo, hi, size=(n, m))
+    mu2[1:, 1:] = rng.integers(lo, hi, size=(n, m))
+    return mu1, mu2
+
+
+CASES = [
+    # (n, m, S, beta, gamma, delta)
+    (4, 4, 1, -150, -50, -150),
+    (5, 3, 1, -200, -50, -150),
+    (3, 5, 2, -150, -50, -210),
+    (6, 6, 2, -100, -200, -250),
+    (1, 1, 1, -150, -50, -150),
+    (0, 3, 1, -150, -50, -150),
+    (3, 0, 1, -150, -50, -150),
+    (0, 0, 1, -150, -50, -150),
+    (7, 5, 3, -150, -50, -150),
+]
+
+
+@pytest.mark.parametrize("n,m,S,beta,gamma,delta", CASES)
+def test_affine_band_equivalence(n, m, S, beta, gamma, delta):
+    rng = np.random.default_rng(n * 1000 + m * 17 + S)
+    mu1, mu2 = _rand_tables(rng, n, m)
+    H_ref = reference_dp.fill_affine(mu1, mu2, S, beta, gamma, delta)
+    H_xla = xla_dp.fill_affine(mu1, mu2, S, beta, gamma, delta)
+
+    # compare genuine band cells only (k,l within [0,n]x[0,m] and band)
+    for i in range(n + 1):
+        for j in range(m + 1):
+            for sk in range(2 * S + 1):
+                k = i + sk - S
+                if not (0 <= k <= n):
+                    continue
+                for sl in range(2 * S + 1):
+                    l = j + sl - S
+                    if not (0 <= l <= m):
+                        continue
+                    ref = H_ref[:, i, j, sk, sl]
+                    got = H_xla[:, i, j, sk, sl]
+                    assert (ref == got).all(), (
+                        f"mismatch at ({i},{j},{k},{l}): {ref} vs {got}"
+                    )
+
+
+@pytest.mark.parametrize("n,m,S,beta,gamma,delta", CASES)
+def test_nonaffine_band_equivalence(n, m, S, beta, gamma, delta):
+    rng = np.random.default_rng(n * 999 + m * 31 + S)
+    mu1, mu2 = _rand_tables(rng, n, m)
+    H_ref = reference_dp.fill_nonaffine(mu1, mu2, S, gamma, delta)
+    H_xla = xla_dp.fill_nonaffine(mu1, mu2, S, gamma, delta)
+
+    for i in range(n + 1):
+        for j in range(m + 1):
+            for sk in range(2 * S + 1):
+                k = i + sk - S
+                if not (0 <= k <= n):
+                    continue
+                for sl in range(2 * S + 1):
+                    l = j + sl - S
+                    if not (0 <= l <= m):
+                        continue
+                    assert (
+                        H_ref[i, j, sk, sl] == H_xla[i, j, sk, sl]
+                    ), f"mismatch at ({i},{j},{k},{l})"
+
+
+def test_score_only_matches_band():
+    rng = np.random.default_rng(7)
+    mu1, mu2 = _rand_tables(rng, 9, 8)
+    S, beta, gamma, delta = 1, -150, -50, -150
+    H = reference_dp.fill_affine(mu1, mu2, S, beta, gamma, delta)
+    want = reference_dp.affine_score_from_band(H, 9, 8, S)
+    got = xla_dp.fill_affine(mu1, mu2, S, beta, gamma, delta,
+                             score_only=True)
+    assert got == want
+
+    Hn = reference_dp.fill_nonaffine(mu1, mu2, S, gamma, delta)
+    wantn = reference_dp.nonaffine_score_from_band(Hn, 9, 8, S)
+    gotn = xla_dp.fill_nonaffine(mu1, mu2, S, gamma, delta, score_only=True)
+    assert gotn == wantn

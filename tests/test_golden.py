@@ -10,7 +10,7 @@ import golden as G
 
 from bialign_tpu import BiAligner
 
-ENGINES = ["numpy"]
+ENGINES = ["numpy", "xla"]
 
 
 @pytest.mark.parametrize("engine", ENGINES)
