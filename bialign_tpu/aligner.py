@@ -154,12 +154,12 @@ class BiAligner:
 
             use_pallas = engine == "pallas"
             if self._affine:
-                self._H = xla_dp.fill_affine(
+                self._H = xla_dp.fill_affine_device(
                     self.mu1, self.mu2, self.max_shift, self.beta,
                     self.gamma, self.delta, pallas=use_pallas,
                 )
             else:
-                self._H = xla_dp.fill_nonaffine(
+                self._H = xla_dp.fill_nonaffine_device(
                     self.mu1, self.mu2, self.max_shift, self.gamma,
                     self.delta, pallas=use_pallas,
                 )
@@ -170,6 +170,10 @@ class BiAligner:
     def optimize(self):
         """Fill the DP band; return the optimal score (pyx:443-509)."""
         n, m = self._fill()
+        from .ops.band import DeviceBand
+
+        if isinstance(self._H, DeviceBand):
+            return self._H.final_score()
         if self._affine:
             return reference_dp.affine_score_from_band(
                 self._H, n, m, self.max_shift
@@ -184,6 +188,25 @@ class BiAligner:
         """Trace arrows of one optimal alignment (pyx:513-586)."""
         if self._H is None:
             self.optimize()
+        from .ops.band import DeviceBand
+
+        if isinstance(self._H, DeviceBand):
+            from .ops import device_traceback as dtb
+
+            if self._affine:
+                trace, complete = dtb.affine_traceback(
+                    self._H, self.beta, self.gamma, self.delta,
+                    self.mu1, self.mu2,
+                )
+                if not complete:
+                    print(
+                        "WARNING: incomplete traceback. "
+                        "Alignment could be garbage."
+                    )
+                return trace
+            return dtb.nonaffine_traceback(
+                self._H, self.gamma, self.delta, self.mu1, self.mu2
+            )
         if self._affine:
             trace, complete = tb.affine_traceback(
                 self._H, self.mu1, self.mu2, self.max_shift, self.beta,
@@ -228,6 +251,9 @@ class BiAligner:
         cols = [tuple(int(v) for v in c) for c in tab.cols]
         S = self.max_shift
 
+        # pass 1: per-column case scores and predecessor cells
+        rows = []
+        pred_idx = []
         idx = [0] * 4
         for y in trace:
             for k in range(4):
@@ -240,17 +266,33 @@ class BiAligner:
                         + int(tab.mu1_coef[ci]) * self.mu1_at(i, j)
                         + int(tab.mu2_coef[ci]) * self.mu2_at(k, l)
                     )
-                    pred = self._H[
-                        i - col[0], j - col[1],
-                        (k - col[2]) - (i - col[0]) + S,
-                        (l - col[3]) - (j - col[1]) + S,
-                    ]
-                    yield " ".join(
-                        str(item)
-                        for item in [idx, tuple(y), case_score, "-->",
-                                     int(pred) + case_score]
+                    rows.append((list(idx), tuple(y), case_score))
+                    pred_idx.append(
+                        (i - col[0], j - col[1], k - col[2], l - col[3])
                     )
                     break
+
+        # pass 2: one band read for all predecessors (a single device
+        # gather when the band lives on device)
+        if not pred_idx:
+            return
+        preds = self._band_cells(np.asarray(pred_idx, dtype=np.int64))
+        for (row_idx, y, case_score), pred in zip(rows, preds):
+            yield " ".join(
+                str(item)
+                for item in [row_idx, y, case_score, "-->",
+                             int(pred) + case_score]
+            )
+
+    def _band_cells(self, idxs: np.ndarray) -> np.ndarray:
+        """Values of non-affine band cells (i, j, k, l), any band type."""
+        from .ops.band import DeviceBand
+
+        if isinstance(self._H, DeviceBand):
+            return self._H.cells(idxs)
+        S = self.max_shift
+        i, j, k, l = idxs[:, 0], idxs[:, 1], idxs[:, 2], idxs[:, 3]
+        return self._H[i, j, k - i + S, l - j + S]
 
     def _eval_affine_trace(self, trace=None):
         """Replay an affine trace, yielding debug lines (pyx:745-800)."""

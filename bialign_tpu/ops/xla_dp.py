@@ -37,6 +37,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..utils.jaxconfig import ensure_compile_cache
+
+ensure_compile_cache()
+
 from .cases import (
     NEG_INF,
     N_STATES,
@@ -418,6 +422,45 @@ def fill_nonaffine(mu1, mu2, max_shift, gamma, delta, *, pallas=False,
     if score_only:
         return int(np.asarray(last[n, S, S]))
     return _diag_to_band(np.asarray(ys), n, m, S, affine=False)
+
+
+def fill_affine_device(mu1, mu2, max_shift, beta, gamma, delta, *,
+                       pallas=False):
+    """Affine band fill kept on device; returns a DeviceBand.
+
+    The TPU-native serving path: the band stays in HBM for the on-device
+    traceback (:mod:`bialign_tpu.ops.device_traceback`); nothing large is
+    ever transferred to host.
+    """
+    from .band import DeviceBand
+
+    n = mu1.shape[0] - 1
+    m = mu1.shape[1] - 1
+    S = max_shift
+    mu1d, mu2d = _diag_mu_tables(np.asarray(mu1), np.asarray(mu2), S)
+    if pallas:
+        from . import pallas_dp
+
+        _, ys = pallas_dp.affine_scan(
+            mu1d, mu2d, n, m, S, (beta, gamma, delta), False
+        )
+    else:
+        _, ys = _affine_scan(mu1d, mu2d, n, m, S, (beta, gamma, delta),
+                             False)
+    return DeviceBand(ys=ys, n=n, m=m, max_shift=S, affine=True)
+
+
+def fill_nonaffine_device(mu1, mu2, max_shift, gamma, delta, *,
+                          pallas=False):
+    """Non-affine band fill kept on device; returns a DeviceBand."""
+    from .band import DeviceBand
+
+    n = mu1.shape[0] - 1
+    m = mu1.shape[1] - 1
+    S = max_shift
+    mu1d, mu2d = _diag_mu_tables(np.asarray(mu1), np.asarray(mu2), S)
+    _, ys = _nonaffine_scan(mu1d, mu2d, n, m, S, (gamma, delta), False)
+    return DeviceBand(ys=ys, n=n, m=m, max_shift=S, affine=False)
 
 
 def _diag_to_band(ys: np.ndarray, n: int, m: int, max_shift: int, *,
