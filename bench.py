@@ -4,7 +4,7 @@ Reference baseline (BASELINE.md): the Cython engine fills the 928x933,
 max_shift=1 affine band in 626.7 s = ~12.46k 4D-cells/s (single CPU
 thread).  This benchmark runs the same problem (README CLI flags:
 gap -150/-50, shift -150, structure_weight 800, BLOSUM62) through the
-wavefront engine on the default JAX backend (TPU when available),
+Pallas wavefront kernel on TPU (XLA scan engine on other backends),
 score-only, steady-state (post-compile), and prints ONE JSON line.
 """
 
@@ -20,7 +20,7 @@ def main():
     from bialign_tpu.io.cfssp import read_molecule_from_file
     from bialign_tpu.models.molecule import preprocess_molecule
     from bialign_tpu.scoring.tables import build_score_tables
-    from bialign_tpu.ops import xla_dp
+    from bialign_tpu.ops import pallas_dp, xla_dp
 
     ex = "/root/reference/Examples"
     seqA, strA = read_molecule_from_file(
@@ -40,20 +40,39 @@ def main():
     n, m, S = len(seqA), len(seqB), params["max_shift"]
     ptuple = (params["gap_opening_cost"], params["gap_cost"],
               params["shift_cost"])
+    on_tpu = pallas_dp._on_tpu()
 
-    mu1d, mu2d = xla_dp._diag_mu_tables(mu1, mu2, S)
-    mu1d = jax.device_put(mu1d)
-    mu2d = jax.device_put(mu2d)
+    if on_tpu:
+        mu1d, mu2d = pallas_dp._diag_mu_tables_plast(mu1, mu2, S)
+        mu1d = jax.device_put(mu1d)
+        mu2d = jax.device_put(mu2d)
 
-    def run():
-        last, _ = xla_dp._affine_scan(mu1d, mu2d, n, m, S, ptuple, True)
-        return int(np.max(np.asarray(last[:, n, S, S])))
+        def run():
+            out = pallas_dp._affine_pallas(
+                mu1d, mu2d, n, m, S, ptuple, True, False
+            )
+            out.block_until_ready()
+            return out
 
-    score = run()  # compile + correctness check
+        last = run()  # compile
+        score = int(jax.device_get(pallas_dp._slab_score(last, S, n)))
+    else:
+        mu1d, mu2d = xla_dp._diag_mu_tables(mu1, mu2, S)
+        mu1d = jax.device_put(mu1d)
+        mu2d = jax.device_put(mu2d)
+
+        def run():
+            last, _ = xla_dp._affine_scan(mu1d, mu2d, n, m, S, ptuple, True)
+            last.block_until_ready()
+            return last
+
+        last = run()
+        score = int(np.max(np.asarray(last[:, n, S, S])))
+
     assert score == 761500, f"SCORE mismatch: {score} (expect 761500)"
 
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)

@@ -11,6 +11,7 @@ order.
 Engine selection (``engine=`` parameter, default "auto"):
 
 * ``"numpy"``  — cell-by-cell host oracle (:mod:`bialign_tpu.ops.reference_dp`)
+* ``"native"`` — C++ host engine (:mod:`bialign_tpu.ops.native_dp`)
 * ``"xla"``    — jit-compiled anti-diagonal wavefront (:mod:`bialign_tpu.ops.xla_dp`)
 * ``"pallas"`` — Pallas TPU kernel (:mod:`bialign_tpu.ops.pallas_dp`)
 * ``"auto"``   — xla when JAX is importable, else numpy.  (The pallas
@@ -68,7 +69,9 @@ def _select_engine(name: str) -> str:
         jax.devices()
         return "xla"
     except Exception:
-        return "numpy"
+        from .ops import native_dp
+
+        return "native" if native_dp.available() else "numpy"
 
 
 class BiAligner:
@@ -149,19 +152,40 @@ class BiAligner:
                 self._H = reference_dp.fill_nonaffine(
                     self.mu1, self.mu2, self.max_shift, self.gamma, self.delta
                 )
+        elif engine == "native":
+            from .ops import native_dp
+
+            if self._affine:
+                self._H = native_dp.fill_affine(
+                    self.mu1, self.mu2, self.max_shift, self.beta,
+                    self.gamma, self.delta,
+                )
+            else:
+                self._H = native_dp.fill_nonaffine(
+                    self.mu1, self.mu2, self.max_shift, self.gamma,
+                    self.delta,
+                )
         elif engine in ("xla", "pallas"):
             from .ops import xla_dp
 
-            use_pallas = engine == "pallas"
-            if self._affine:
+            if engine == "pallas" and self._affine:
+                from .ops import pallas_dp
+
+                self._H = pallas_dp.fill_affine_device(
+                    self.mu1, self.mu2, self.max_shift, self.beta,
+                    self.gamma, self.delta,
+                )
+            elif self._affine:
                 self._H = xla_dp.fill_affine_device(
                     self.mu1, self.mu2, self.max_shift, self.beta,
-                    self.gamma, self.delta, pallas=use_pallas,
+                    self.gamma, self.delta,
                 )
             else:
+                # non-affine: XLA scan engine (the affine recurrence is
+                # the hot path the Pallas kernel specializes)
                 self._H = xla_dp.fill_nonaffine_device(
                     self.mu1, self.mu2, self.max_shift, self.gamma,
-                    self.delta, pallas=use_pallas,
+                    self.delta,
                 )
         else:
             raise ValueError(f"unknown engine {engine!r}")

@@ -93,7 +93,7 @@ def add_bialign_parameters(parser):
     # extension over the reference: explicit engine selection
     parser.add_argument(
         "--engine", default="auto",
-        choices=["auto", "numpy", "xla", "pallas"],
+        choices=["auto", "numpy", "native", "xla", "pallas"],
         help="DP engine (bialign-tpu extension; default auto)",
     )
 

@@ -27,25 +27,30 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _gather_cells(ys, idxs, affine):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _gather_cells(ys, idxs, affine, p_last):
     """Gather band cells; idxs columns are (q,) i, j, sk, sl."""
     i = idxs[:, -4]
     d = i + idxs[:, -3]
     sk = idxs[:, -2]
     sl = idxs[:, -1]
+    if affine and p_last:
+        return ys[d, idxs[:, 0], sk, sl, i]
     if affine:
         return ys[d, idxs[:, 0], i, sk, sl]
+    if p_last:
+        return ys[d, sk, sl, i]
     return ys[d, i, sk, sl]
 
 
-@jax.jit
-def _final_affine(ys, n, m, S):
-    return jnp.max(ys[n + m, :, n, S, S])
-
-
-@jax.jit
-def _final_nonaffine(ys, n, m, S):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _final_score(ys, n, m, S, affine, p_last):
+    if affine and p_last:
+        return jnp.max(ys[n + m, :, S, S, n])
+    if affine:
+        return jnp.max(ys[n + m, :, n, S, S])
+    if p_last:
+        return ys[n + m, S, S, n]
     return ys[n + m, n, S, S]
 
 
@@ -74,6 +79,7 @@ class DeviceBand:
     m: int
     max_shift: int
     affine: bool
+    p_last: bool = False  # Pallas layout: ys[d, (q,) sk, sl, i]
 
     def cells(self, idxs: np.ndarray) -> np.ndarray:
         """Exact values of a batch of cells; one vectorized device gather.
@@ -90,7 +96,8 @@ class DeviceBand:
         rel[:, -1] = idxs[:, -1] - idxs[:, -3] + S   # sl = l - j + S
         rel = _pad_pow2(rel)
         vals = jax.device_get(
-            _gather_cells(self.ys, jnp.asarray(rel), self.affine)
+            _gather_cells(self.ys, jnp.asarray(rel), self.affine,
+                          self.p_last)
         )
         return vals[:N]
 
@@ -99,15 +106,18 @@ class DeviceBand:
 
     def final_score(self) -> int:
         """Optimal score read from the final cell (one tiny transfer)."""
-        fn = _final_affine if self.affine else _final_nonaffine
-        return int(jax.device_get(
-            fn(self.ys, self.n, self.m, self.max_shift)
-        ))
+        return int(jax.device_get(_final_score(
+            self.ys, self.n, self.m, self.max_shift, self.affine,
+            self.p_last,
+        )))
 
     def to_numpy(self) -> np.ndarray:
         """Full band in oracle layout H[(q,) i, j, sk, sl] (tests only —
         transfers the entire band to host)."""
         ys = np.asarray(self.ys)
+        if self.p_last:
+            # [D, (Q,) W, W, P] -> [D, (Q,) P, W, W]
+            ys = np.moveaxis(ys, -1, -3)[..., : self.n + 1, :, :]
         n, m = self.n, self.m
         W = 2 * self.max_shift + 1
         if self.affine:

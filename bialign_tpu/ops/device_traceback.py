@@ -77,8 +77,8 @@ def _encode_col(col):
     return col[..., 0] * 8 + col[..., 1] * 4 + col[..., 2] * 2 + col[..., 3]
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _affine_walk(ys, mu1, mu2, case_const, max_shift):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _affine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n):
     """Device walk; returns (trace_codes[Lmax], n_steps, done_code, score).
 
     The start state (best final score, ties by minimal intrinsic shift,
@@ -89,8 +89,7 @@ def _affine_walk(ys, mu1, mu2, case_const, max_shift):
     2 = stuck (the reference's incomplete-traceback warning case).
     """
     S = max_shift
-    D, Q, P = ys.shape[0], ys.shape[1], ys.shape[2]
-    n = P - 1
+    D = ys.shape[0]
     m = D - 1 - n
     Lmax = 2 * (n + m) + 1
 
@@ -108,6 +107,8 @@ def _affine_walk(ys, mu1, mu2, case_const, max_shift):
     CODES = jnp.asarray(_encode_col(col_t))      # [9,15]
 
     def cell(q, i, j, k, l):
+        if p_last:
+            return ys[i + j, q, k - i + S, l - j + S, i]
         return ys[i + j, q, i, k - i + S, l - j + S]
 
     def cond(st):
@@ -136,8 +137,12 @@ def _affine_walk(ys, mu1, mu2, case_const, max_shift):
         cd_ = jnp.clip(pi + pj, 0, D - 1)
         csk = jnp.clip(pk - pi + S, 0, 2 * S)
         csl = jnp.clip(pl - pj + S, 0, 2 * S)
+        pred_cells = (
+            ys[cd_, SRC[q], csk, csl, ci_] if p_last
+            else ys[cd_, SRC[q], ci_, csk, csl]
+        )
         vals = (
-            ys[cd_, SRC[q], ci_, csk, csl]
+            pred_cells
             + case_const[q]
             + MU1C[q] * mu1[i, j]
             + MU2C[q] * mu2[k, l]
@@ -172,7 +177,7 @@ def _affine_walk(ys, mu1, mu2, case_const, max_shift):
         }
 
     # start-state selection (pyx:573-582), on device
-    final = ys[n + m, :, n, S, S]
+    final = ys[n + m, :, S, S, n] if p_last else ys[n + m, :, n, S, S]
     score = jnp.max(final)
     intrinsic = jnp.asarray(
         [abs(s[0] - s[2]) + abs(s[1] - s[3]) for s in STATES],
@@ -200,7 +205,7 @@ def affine_traceback(band: DeviceBand, beta: int, gamma: int, delta: int,
     const = jnp.asarray(_affine_const(beta, gamma, delta))
     codes, steps, done, _score = jax.device_get(_affine_walk(
         band.ys, jnp.asarray(mu1), jnp.asarray(mu2), const,
-        band.max_shift,
+        band.max_shift, band.p_last, band.n,
     ))
     codes = codes[:int(steps)]
     trace = [

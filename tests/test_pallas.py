@@ -1,0 +1,78 @@
+"""Pallas kernel parity: bit-exact vs the numpy oracle (interpret mode on
+CPU; the same kernel compiles via Mosaic on TPU)."""
+
+import numpy as np
+import pytest
+
+from bialign_tpu.ops import reference_dp
+from bialign_tpu.ops import pallas_dp
+from bialign_tpu.ops import traceback as host_tb
+from bialign_tpu.ops import device_traceback as dtb
+
+
+def _rand_pair(rng, n, m, scale=100):
+    mu1 = np.zeros((n + 1, m + 1), dtype=np.int32)
+    mu2 = np.zeros((n + 1, m + 1), dtype=np.int32)
+    mu1[1:, 1:] = rng.integers(-4, 9, size=(n, m)) * scale
+    mu2[1:, 1:] = rng.integers(-4, 9, size=(n, m)) * scale
+    return mu1, mu2
+
+
+CASES = [
+    (5, 7, 1, -150, -50, -150),
+    (8, 8, 2, -100, -200, -250),
+    (12, 3, 1, -150, -50, -210),
+    (1, 1, 1, -150, -50, -150),
+    (6, 6, 2, -50, -100, -100),
+]
+
+
+def _genuine_mask(n, m, S):
+    """Mask of band cells whose (k, l) lie inside [0,n]x[0,m]."""
+    i = np.arange(n + 1)[:, None, None, None]
+    j = np.arange(m + 1)[None, :, None, None]
+    k = i + np.arange(2 * S + 1)[None, None, :, None] - S
+    l = j + np.arange(2 * S + 1)[None, None, None, :] - S
+    return (k >= 0) & (k <= n) & (l >= 0) & (l <= m)
+
+
+@pytest.mark.parametrize("n,m,S,beta,gamma,delta", CASES)
+def test_pallas_band_matches_oracle(n, m, S, beta, gamma, delta):
+    rng = np.random.default_rng(n * 37 + m * 5 + S)
+    mu1, mu2 = _rand_pair(rng, n, m)
+    H = reference_dp.fill_affine(mu1, mu2, S, beta, gamma, delta)
+    band = pallas_dp.fill_affine_device(mu1, mu2, S, beta, gamma, delta)
+    got = band.to_numpy()
+    assert got.shape == H.shape
+    ok = _genuine_mask(n, m, S)[None]
+    assert np.where(ok, got == H, True).all(), (
+        f"mismatch at {np.argwhere(ok & (got != H))[:5]}"
+    )
+    assert band.final_score() == reference_dp.affine_score_from_band(
+        H, n, m, S
+    )
+
+
+@pytest.mark.parametrize("n,m,S,beta,gamma,delta", CASES[:3])
+def test_pallas_device_traceback(n, m, S, beta, gamma, delta):
+    rng = np.random.default_rng(n + m + S)
+    mu1, mu2 = _rand_pair(rng, n, m)
+    H = reference_dp.fill_affine(mu1, mu2, S, beta, gamma, delta)
+    want, want_complete = host_tb.affine_traceback(
+        H, mu1, mu2, S, beta, gamma, delta
+    )
+    band = pallas_dp.fill_affine_device(mu1, mu2, S, beta, gamma, delta)
+    got, got_complete = dtb.affine_traceback(
+        band, beta, gamma, delta, mu1, mu2
+    )
+    assert [tuple(c) for c in got] == [tuple(c) for c in want]
+    assert got_complete == want_complete
+
+
+def test_pallas_score_only():
+    rng = np.random.default_rng(0)
+    mu1, mu2 = _rand_pair(rng, 9, 11)
+    H = reference_dp.fill_affine(mu1, mu2, 1, -150, -50, -150)
+    want = reference_dp.affine_score_from_band(H, 9, 11, 1)
+    got = pallas_dp.affine_score(mu1, mu2, 1, -150, -50, -150)
+    assert got == want
