@@ -1,0 +1,170 @@
+"""Streaming batch-alignment driver: checkpoint/resume, metrics, multi-host.
+
+The reference is strictly one pair per process (SURVEY.md §2.4); scaling
+to corpora of pairs is a new subsystem with no reference counterpart.
+Design:
+
+* input is an iterator of :class:`PairRecord`; pairs are buffered,
+  bucketed by padded shape (:mod:`bialign_tpu.parallel.batch`) and scored
+  per-bucket on the device mesh;
+* every completed chunk is appended to a JSONL results spool with an
+  fsync, so a crashed or preempted run resumes exactly where it stopped —
+  on restart, already-spooled pair ids are skipped (checkpoint/resume,
+  SURVEY.md §5);
+* per-chunk structured stats (pairs/s, DP cells/s, bucket occupancy) via
+  :class:`bialign_tpu.utils.profiling.RunStats`;
+* multi-host: with ``jax.distributed`` initialized, each process consumes
+  the pairs whose ``index %% process_count == process_index`` (host-side
+  round-robin sharding of the stream; per-pair DP is chip-local, no
+  cross-host communication is needed beyond result collection by the
+  caller — scores live in each host's spool shard).
+
+The driver scores; alignments-on-demand (traceback of selected pairs) run
+through :class:`bialign_tpu.BiAligner` on the winning pairs, which is the
+intended serving pattern: fill-only sweeps are ~free, tracebacks are
+pulled for the handful of pairs a user actually inspects.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from ..models.molecule import preprocess_molecule
+from ..scoring.tables import build_score_tables
+from ..utils.profiling import RunStats, band_cells
+from . import batch as pbatch
+
+
+@dataclass
+class PairRecord:
+    """One alignment job in a stream."""
+
+    id: str
+    seqA: str
+    seqB: str
+    strA: str | None = None
+    strB: str | None = None
+
+
+class ResultSpool:
+    """Append-only JSONL spool with resume support."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._done: set = set()
+        good_bytes = 0
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                for line in f:
+                    if not line.endswith(b"\n"):
+                        break  # torn tail from a crash — truncated below
+                    try:
+                        self._done.add(json.loads(line)["id"])
+                    except (ValueError, KeyError):
+                        break
+                    good_bytes += len(line)
+            if good_bytes < os.path.getsize(path):
+                with open(path, "r+b") as f:
+                    f.truncate(good_bytes)
+        self._f = open(path, "a")
+
+    def is_done(self, pair_id: str) -> bool:
+        return pair_id in self._done
+
+    def write(self, pair_id: str, score: int, extra: dict | None = None):
+        rec = {"id": pair_id, "score": int(score)}
+        if extra:
+            rec.update(extra)
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        os.fsync(self._f.fileno())
+        self._done.add(pair_id)
+
+    def close(self):
+        self._f.close()
+
+
+class StreamingAligner:
+    """Scores a stream of pairs in device-efficient chunks."""
+
+    def __init__(self, params: dict, *, mesh=None, spool_path: str | None
+                 = None, chunk_pairs: int = 256, bucket_quantum: int = 64,
+                 process_index: int = 0, process_count: int = 1):
+        from ..aligner import PARAM_DEFAULTS
+
+        self.params = dict(PARAM_DEFAULTS)
+        self.params.update(params)
+        self.mesh = mesh
+        self.spool = ResultSpool(spool_path) if spool_path else None
+        self.chunk_pairs = chunk_pairs
+        self.bucket_quantum = bucket_quantum
+        self.process_index = process_index
+        self.process_count = process_count
+        self.stats = RunStats()
+
+        self.max_shift = int(self.params["max_shift"])
+        beta = int(self.params["gap_opening_cost"])
+        gamma = int(self.params["gap_cost"])
+        delta = int(self.params["shift_cost"])
+        self.affine = beta != 0
+        self.ptuple = (beta, gamma, delta) if self.affine else (gamma, delta)
+        self.is_rna = self.params["type"] == "RNA"
+
+    def _tables(self, rec: PairRecord):
+        molA = preprocess_molecule(rec.seqA, rec.strA, is_rna=self.is_rna)
+        molB = preprocess_molecule(rec.seqB, rec.strB, is_rna=self.is_rna)
+        return build_score_tables(molA, molB, self.params,
+                                  is_rna=self.is_rna)
+
+    def run(self, records: Iterable[PairRecord]) -> Iterator[tuple]:
+        """Consume the stream; yield (id, score) as chunks complete."""
+        self.stats.start()
+        chunk: list[PairRecord] = []
+        for idx, rec in enumerate(records):
+            if idx % self.process_count != self.process_index:
+                continue
+            if self.spool is not None and self.spool.is_done(rec.id):
+                continue
+            chunk.append(rec)
+            if len(chunk) >= self.chunk_pairs:
+                yield from self._flush(chunk)
+                chunk = []
+        if chunk:
+            yield from self._flush(chunk)
+        self.stats.stop()
+
+    def _flush(self, chunk):
+        tables = [self._tables(r) for r in chunk]
+        scores = pbatch.score_batch(
+            tables, self.max_shift, self.ptuple, affine=self.affine,
+            mesh=self.mesh, bucket_quantum=self.bucket_quantum,
+        )
+        cells = sum(
+            band_cells(t[0].shape[0] - 1, t[0].shape[1] - 1, self.max_shift)
+            for t in tables
+        )
+        self.stats.add_batch("chunk", len(chunk), cells)
+        for rec, score in zip(chunk, scores):
+            if self.spool is not None:
+                self.spool.write(rec.id, int(score))
+            yield rec.id, int(score)
+
+
+def init_distributed():
+    """Multi-host initialization hook (jax.distributed).
+
+    Returns (process_index, process_count); single-host (1, 1) when no
+    cluster environment is configured.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        return 0, 1
+    return jax.process_index(), jax.process_count()

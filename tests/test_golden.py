@@ -10,7 +10,11 @@ import golden as G
 
 from bialign_tpu import BiAligner
 
-ENGINES = ["numpy", "xla"]
+from bialign_tpu.ops import native_dp
+
+ENGINES = ["numpy", "xla", "pallas"]
+if native_dp.available():
+    ENGINES.append("native")
 
 
 @pytest.mark.parametrize("engine", ENGINES)
