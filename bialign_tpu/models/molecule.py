@@ -112,19 +112,26 @@ def preprocess_molecule(sequence, structure, *, is_rna: bool) -> dict:
         if is_rna:
             try:
                 import RNA  # ViennaRNA python bindings (optional)
-            except ImportError as e:
-                raise MoleculeError(
-                    "Structure prediction requires the ViennaRNA python "
-                    "bindings; provide --strA/--strB or install ViennaRNA."
-                ) from e
-            fc = RNA.fold_compound(str(sequence))
-            mol["mfe"] = fc.mfe()
-            mol["pf"] = fc.pf()
-            mol["sbpp"] = symmetrize_bpps(fc.bpp())
+            except ImportError:
+                RNA = None
             from .. import scoring
 
+            if RNA is not None:
+                # reference path (pyx:347-353): ViennaRNA ensemble
+                fc = RNA.fold_compound(str(sequence))
+                mol["mfe"] = fc.mfe()
+                mol["pf"] = fc.pf()
+                mol["sbpp"] = symmetrize_bpps(fc.bpp())
+                mol["structure"] = mol["pf"][0]
+            else:
+                # standalone fallback: built-in partition function
+                # (documented divergence — see scoring/fold.py)
+                from ..scoring.fold import partition_bpp
+
+                mol["sbpp"] = partition_bpp(str(sequence))
+                ms, _ = scoring.structure.mea(mol["sbpp"])
+                mol["structure"] = ms
             mol["mea"] = scoring.structure.mea(mol["sbpp"])
-            mol["structure"] = mol["pf"][0]
         else:
             raise MoleculeError(
                 "Structures have to be provided when aligning proteins"
