@@ -20,12 +20,25 @@ DEFAULT_CACHE_DIR = os.path.join(
 
 
 def ensure_compile_cache() -> None:
-    """Idempotently enable the persistent JAX compilation cache."""
+    """Idempotently enable the persistent JAX compilation cache.
+
+    Also re-applies the ``JAX_PLATFORMS`` environment variable through
+    jax.config: a sitecustomize that pre-imports jax (e.g. a TPU plugin
+    loader) can pin the platform before user code runs, which would
+    silently ignore the env var.
+    """
     global _done
     if _done or os.environ.get("BIALIGN_TPU_NO_CACHE"):
         _done = True
         return
     import jax
+
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms and jax.config.jax_platforms != env_platforms:
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except RuntimeError:
+            pass  # backends already initialized; too late to switch
 
     if jax.config.jax_compilation_cache_dir is None:
         cache_dir = os.environ.get(
