@@ -27,6 +27,7 @@ can switch with an import change.
 
 from .version import __version__
 from .aligner import BiAligner
+from .models.triplet import BiAlignerTriplet
 from .io.simmatrix import blosum62, read_simmatrix
 from .io.cfssp import read_molecule, read_molecule_from_file
 from .scoring.structure import (
@@ -43,6 +44,7 @@ from .render.plot import breaklines, fourway_from_full, plot_alignment, runs
 __all__ = [
     "__version__",
     "BiAligner",
+    "BiAlignerTriplet",
     "blosum62",
     "read_simmatrix",
     "read_molecule",

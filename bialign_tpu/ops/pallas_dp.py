@@ -73,9 +73,9 @@ def _shift_p(x, lane_idx):
     return jnp.where(lane_idx == 0, INVALID, rolled)
 
 
-def _affine_kernel(n: int, m: int, S: int, params, Ppad: int,
-                   score_only: bool):
-    """Build the kernel body for one (geometry, params) configuration."""
+def _make_update(S: int, params, Ppad: int):
+    """Pure per-diagonal slab update shared by the single-pair and the
+    batched kernels: (d, mu1_row, mu2_blk, vm1, vm2) -> val."""
     beta, gamma, delta = params
     W = 2 * S + 1
     Q = N_STATES
@@ -92,22 +92,11 @@ def _affine_kernel(n: int, m: int, S: int, params, Ppad: int,
 
     shape = (W, W, Ppad)
 
-    def kernel(mu1_ref, mu2_ref, out_ref, vm1_ref, vm2_ref):
-        d = pl.program_id(0)
+    def update(d, mu1_row, mu2_blk, vm1, vm2):
         i_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
         sk_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         sl_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         origin_pos = (i_ar == 0) & (sk_ar == S) & (sl_ar == S)
-
-        @pl.when(d == 0)
-        def _():
-            vm1_ref[:] = jnp.full((Q,) + shape, INVALID, jnp.int32)
-            vm2_ref[:] = jnp.full((Q,) + shape, INVALID, jnp.int32)
-
-        vm1 = vm1_ref[:]
-        vm2 = vm2_ref[:]
-        mu1_row = mu1_ref[0, 0]                  # [Ppad]
-        mu2_blk = mu2_ref[0]                     # [W, W, Ppad]
 
         j_ar = d - i_ar
         k_ar = i_ar + sk_ar - S
@@ -194,8 +183,29 @@ def _affine_kernel(n: int, m: int, S: int, params, Ppad: int,
             best = jnp.stack(newb)
             val = jnp.stack(newv)
 
+        return val
+
+    return update
+
+
+def _affine_kernel(n: int, m: int, S: int, params, Ppad: int,
+                   score_only: bool):
+    """Single-pair kernel body (grid over diagonals)."""
+    Q = N_STATES
+    W = 2 * S + 1
+    update = _make_update(S, params, Ppad)
+
+    def kernel(mu1_ref, mu2_ref, out_ref, vm1_ref, vm2_ref):
+        d = pl.program_id(0)
+
+        @pl.when(d == 0)
+        def _():
+            vm1_ref[:] = jnp.full((Q, W, W, Ppad), INVALID, jnp.int32)
+            vm2_ref[:] = jnp.full((Q, W, W, Ppad), INVALID, jnp.int32)
+
+        val = update(d, mu1_ref[0, 0], mu2_ref[0], vm1_ref[:], vm2_ref[:])
         out_ref[0] = val
-        vm2_ref[:] = vm1
+        vm2_ref[:] = vm1_ref[:]
         vm1_ref[:] = val
 
     return kernel
@@ -273,6 +283,93 @@ def _diag_mu_tables_plast(mu1: np.ndarray, mu2: np.ndarray, S: int):
 def _slab_score(last, S, n):
     """Optimal score from the final-diagonal slab [1, Q, W, W, Ppad]."""
     return jnp.max(last[0, :, S, S, n])
+
+
+def _affine_batched_kernel(S: int, params, Ppad: int):
+    """Batched score-only kernel: grid (B, D), per-pair true lengths in
+    SMEM via scalar prefetch; the slab update is identical to the
+    single-pair kernel (it never references n/m — garbage lattice
+    positions are computed but provably never read), and the score is
+    captured on the fly when the pair's final diagonal d == n + m passes.
+    """
+    W = 2 * S + 1
+    Q = N_STATES
+    update = _make_update(S, params, Ppad)
+    shape = (W, W, Ppad)
+
+    def kernel(ns_ref, ms_ref, mu1_ref, mu2_ref, out_ref, vm1_ref,
+               vm2_ref):
+        b = pl.program_id(0)
+        d = pl.program_id(1)
+
+        @pl.when(d == 0)
+        def _():
+            vm1_ref[:] = jnp.full((Q, W, W, Ppad), INVALID, jnp.int32)
+            vm2_ref[:] = jnp.full((Q, W, W, Ppad), INVALID, jnp.int32)
+            out_ref[0] = jnp.full((LANES,), NEG_INF, jnp.int32)
+
+        val = update(d, mu1_ref[0, 0], mu2_ref[0], vm1_ref[:], vm2_ref[:])
+        vm2_ref[:] = vm1_ref[:]
+        vm1_ref[:] = val
+
+        n = ns_ref[b]
+        m = ms_ref[b]
+
+        @pl.when(d == n + m)
+        def _():
+            i_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+            sk_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            sl_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            hit = (i_ar == n) & (sk_ar == S) & (sl_ar == S)
+            score = jnp.max(jnp.where(hit[None], val, INVALID))
+            out_ref[0] = jnp.full((LANES,), score, jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _affine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params):
+    """Scores for a same-bucket batch.
+
+    mu1d: [B, D, 1, Ppad]; mu2d: [B, D, W, W, Ppad]; ns/ms: [B] int32.
+    Returns [B] int32 scores.
+    """
+    S = max_shift
+    W = 2 * S + 1
+    Q = N_STATES
+    B, D = mu1d.shape[0], mu1d.shape[1]
+    Ppad = mu1d.shape[-1]
+    # fold (B, D) so per-step blocks have the single-pair shapes
+    mu1f = mu1d.reshape(B * D, 1, Ppad)
+    mu2f = mu2d.reshape(B * D, W, W, Ppad)
+
+    kernel = _affine_batched_kernel(S, params, Ppad)
+    slab = pltpu.VMEM((Q, W, W, Ppad), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, D),
+        in_specs=[
+            pl.BlockSpec((1, 1, Ppad),
+                         lambda b, d, ns, ms: (b * D + d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, W, Ppad),
+                         lambda b, d, ns, ms: (b * D + d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, LANES), lambda b, d, ns, ms: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[slab, slab],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, LANES), jnp.int32),
+        interpret=not _on_tpu(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(ns, ms, mu1f, mu2f)
+    return out[:, 0]
 
 
 def _on_tpu() -> bool:

@@ -61,11 +61,13 @@ class Bucket:
     m: list = field(default_factory=list)
 
 
-def make_buckets(tables, max_shift: int, bucket_quantum: int = 64):
+def make_buckets(tables, max_shift: int, bucket_quantum: int = 64, *,
+                 p_last: bool = False):
     """Group (mu1, mu2) pairs into padded-shape buckets.
 
     ``tables``: iterable of (mu1, mu2) int32 arrays (shape (n+1, m+1)).
-    Returns a dict keyed by (N, M).
+    Returns a dict keyed by (N, M).  With ``p_last`` the diagonal tables
+    use the Pallas layout (lattice row last, lane-padded).
     """
     buckets: dict = {}
     for idx, (mu1, mu2) in enumerate(tables):
@@ -74,11 +76,14 @@ def make_buckets(tables, max_shift: int, bucket_quantum: int = 64):
         N = quantize(n, bucket_quantum)
         M = quantize(m, bucket_quantum)
         b = buckets.setdefault((N, M), Bucket(N, M))
-        m1d, m2d = xla_dp._diag_mu_tables(
-            pad_table(np.asarray(mu1), N, M),
-            pad_table(np.asarray(mu2), N, M),
-            max_shift,
-        )
+        p1 = pad_table(np.asarray(mu1), N, M)
+        p2 = pad_table(np.asarray(mu2), N, M)
+        if p_last:
+            from ..ops import pallas_dp
+
+            m1d, m2d = pallas_dp._diag_mu_tables_plast(p1, p2, max_shift)
+        else:
+            m1d, m2d = xla_dp._diag_mu_tables(p1, p2, max_shift)
         b.indices.append(idx)
         b.mu1d.append(np.asarray(m1d))
         b.mu2d.append(np.asarray(m2d))
@@ -110,15 +115,62 @@ def _device_put_sharded(arr, mesh):
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
+def _use_pallas_batched(affine: bool, mesh) -> bool:
+    """Pallas batched path: affine, single-device, on a TPU."""
+    if not affine or mesh is not None:
+        return False
+    try:
+        import jax
+
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def score_batch(tables, max_shift: int, params, *, affine: bool,
-                mesh: Mesh | None = None, bucket_quantum: int = 64):
+                mesh: Mesh | None = None, bucket_quantum: int = 64,
+                engine: str = "auto"):
     """Score a batch of pairs; returns int scores in input order.
 
     ``params``: (beta, gamma, delta) for affine, (gamma, delta) otherwise.
     With ``mesh``, every bucket's batch axis is sharded over mesh axis
     "data" (pad the batch to a multiple of the axis size).
+
+    ``engine``: "auto" (Pallas batched kernel for affine on TPU, vmapped
+    XLA scan otherwise), "pallas", or "xla".
     """
+    import jax.numpy as jnp
+
     tables = list(tables)
+    if engine == "pallas" and mesh is not None:
+        raise ValueError(
+            "engine='pallas' is single-device; use engine='auto'/'xla' "
+            "with a mesh (shard_map over the batched kernel is planned)"
+        )
+    use_pallas = (
+        engine == "pallas"
+        or (engine == "auto" and _use_pallas_batched(affine, mesh))
+    )
+    if use_pallas:
+        from ..ops import pallas_dp
+
+        buckets = make_buckets(tables, max_shift, bucket_quantum,
+                               p_last=True)
+        out = np.zeros(len(tables), dtype=np.int64)
+        for (N, M), b in buckets.items():
+            scores = np.asarray(jax.device_get(
+                pallas_dp._affine_pallas_batched(
+                    jnp.asarray(np.stack(b.mu1d)),
+                    jnp.asarray(np.stack(b.mu2d)),
+                    jnp.asarray(b.n, dtype=jnp.int32),
+                    jnp.asarray(b.m, dtype=jnp.int32),
+                    max_shift, tuple(params),
+                )
+            ))
+            for pos, idx in enumerate(b.indices):
+                out[idx] = scores[pos]
+        return out
+
     buckets = make_buckets(tables, max_shift, bucket_quantum)
     out = np.zeros(len(tables), dtype=np.int64)
 

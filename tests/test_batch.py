@@ -69,3 +69,14 @@ def test_sharded_affine_matches_oracle(pairs):
         bucket_quantum=16,
     )
     assert (got == want).all()
+
+
+def test_batched_pallas_engine_matches_oracle(pairs):
+    """Batched Pallas kernel (interpret mode on CPU) vs per-pair oracle."""
+    S, beta, gamma, delta = 1, -150, -50, -150
+    want = _oracle_scores(pairs, S, beta, gamma, delta, True)
+    got = pbatch.score_batch(
+        pairs, S, (beta, gamma, delta), affine=True, bucket_quantum=8,
+        engine="pallas",
+    )
+    assert (got == want).all()
