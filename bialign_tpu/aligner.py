@@ -14,8 +14,7 @@ Engine selection (``engine=`` parameter, default "auto"):
 * ``"native"`` — C++ host engine (:mod:`bialign_tpu.ops.native_dp`)
 * ``"xla"``    — jit-compiled anti-diagonal wavefront (:mod:`bialign_tpu.ops.xla_dp`)
 * ``"pallas"`` — Pallas TPU kernel (:mod:`bialign_tpu.ops.pallas_dp`)
-* ``"auto"``   — xla when JAX is importable, else numpy.  (The pallas
-  engine is selected explicitly while it matures.)
+* ``"auto"``   — pallas on TPU, xla on other JAX backends, else native/numpy.
 
 All engines are validated bit-exact against each other (tests/), so
 `optimize()`, `traceback()` and every decode method produce reference-
@@ -66,8 +65,8 @@ def _select_engine(name: str) -> str:
     try:
         import jax
 
-        jax.devices()
-        return "xla"
+        devs = jax.devices()
+        return "pallas" if devs and devs[0].platform == "tpu" else "xla"
     except Exception:
         from .ops import native_dp
 
@@ -168,21 +167,25 @@ class BiAligner:
         elif engine in ("xla", "pallas"):
             from .ops import xla_dp
 
-            if engine == "pallas" and self._affine:
+            if engine == "pallas":
                 from .ops import pallas_dp
 
-                self._H = pallas_dp.fill_affine_device(
-                    self.mu1, self.mu2, self.max_shift, self.beta,
-                    self.gamma, self.delta,
-                )
+                if self._affine:
+                    self._H = pallas_dp.fill_affine_device(
+                        self.mu1, self.mu2, self.max_shift, self.beta,
+                        self.gamma, self.delta,
+                    )
+                else:
+                    self._H = pallas_dp.fill_nonaffine_device(
+                        self.mu1, self.mu2, self.max_shift, self.gamma,
+                        self.delta,
+                    )
             elif self._affine:
                 self._H = xla_dp.fill_affine_device(
                     self.mu1, self.mu2, self.max_shift, self.beta,
                     self.gamma, self.delta,
                 )
             else:
-                # non-affine: XLA scan engine (the affine recurrence is
-                # the hot path the Pallas kernel specializes)
                 self._H = xla_dp.fill_nonaffine_device(
                     self.mu1, self.mu2, self.max_shift, self.gamma,
                     self.delta,

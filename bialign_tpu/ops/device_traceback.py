@@ -215,11 +215,10 @@ def affine_traceback(band: DeviceBand, beta: int, gamma: int, delta: int,
     return trace, int(done) == 1
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _nonaffine_walk(ys, mu1, mu2, case_const, max_shift):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _nonaffine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n):
     S = max_shift
-    D, P = ys.shape[0], ys.shape[1]
-    n = P - 1
+    D = ys.shape[0]
     m = D - 1 - n
     Lmax = 2 * (n + m) + 1
 
@@ -232,9 +231,14 @@ def _nonaffine_walk(ys, mu1, mu2, case_const, max_shift):
     def cond(st):
         return (st["done"] == 0) & (st["step"] < Lmax)
 
+    def cell(i_, j_, sk_, sl_):
+        if p_last:
+            return ys[i_ + j_, sk_, sl_, i_]
+        return ys[i_ + j_, i_, sk_, sl_]
+
     def body(st):
         i, j, k, l = st["i"], st["j"], st["k"], st["l"]
-        here = ys[i + j, i, k - i + S, l - j + S]
+        here = cell(i, j, k - i + S, l - j + S)
 
         pi = i - COL[:, 0]
         pj = j - COL[:, 1]
@@ -245,9 +249,9 @@ def _nonaffine_walk(ys, mu1, mu2, case_const, max_shift):
             & (jnp.abs(pk - pi) <= S) & (jnp.abs(pl - pj) <= S)
         )
         vals = (
-            ys[jnp.clip(pi + pj, 0, D - 1), jnp.clip(pi, 0, n),
-               jnp.clip(pk - pi + S, 0, 2 * S),
-               jnp.clip(pl - pj + S, 0, 2 * S)]
+            cell(jnp.clip(pi, 0, n), jnp.clip(pj, 0, m),
+                 jnp.clip(pk - pi + S, 0, 2 * S),
+                 jnp.clip(pl - pj + S, 0, 2 * S))
             + case_const
             + MU1C * mu1[i, j]
             + MU2C * mu2[k, l]
@@ -284,7 +288,7 @@ def nonaffine_traceback(band: DeviceBand, gamma: int, delta: int, mu1, mu2):
     tabs = NonAffineTables(gamma, delta)
     codes, steps = jax.device_get(_nonaffine_walk(
         band.ys, jnp.asarray(mu1), jnp.asarray(mu2),
-        jnp.asarray(tabs.const), band.max_shift,
+        jnp.asarray(tabs.const), band.max_shift, band.p_last, band.n,
     ))
     codes = codes[:int(steps)]
     return [

@@ -33,7 +33,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .cases import NEG_INF, N_STATES, STATES, STATE_BOTH_MATCH, AffineTables
+from .cases import (
+    NEG_INF,
+    N_STATES,
+    STATES,
+    STATE_BOTH_MATCH,
+    AffineTables,
+    NonAffineTables,
+    NONAFFINE_COLS,
+)
 from .xla_dp import INVALID
 
 LANES = 128
@@ -186,6 +194,170 @@ def _make_update(S: int, params, Ppad: int):
         return val
 
     return update
+
+
+def _make_nonaffine_update(S: int, params, Ppad: int):
+    """Per-diagonal slab update for the 13-case non-affine recurrence
+    (reference recursion_cases, bialignment.pyx:225-252; fill loop 443-471).
+    Slabs are [W, W, Ppad] — no state axis."""
+    gamma, delta = params
+    W = 2 * S + 1
+    tab = NonAffineTables(gamma, delta)
+    external = [
+        (col, int(tab.const[ci]), int(tab.mu1_coef[ci]),
+         int(tab.mu2_coef[ci]))
+        for ci, col in enumerate(NONAFFINE_COLS)
+        if col[0] or col[1]
+    ]
+    internal = [
+        (col, int(tab.const[ci]), int(tab.mu2_coef[ci]))
+        for ci, col in enumerate(NONAFFINE_COLS)
+        if not (col[0] or col[1])
+    ]
+    shape = (W, W, Ppad)
+
+    def update(d, mu1_row, mu2_blk, vm1, vm2):
+        i_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        sk_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        sl_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        origin_pos = (i_ar == 0) & (sk_ar == S) & (sl_ar == S)
+
+        j_ar = d - i_ar
+        k_ar = i_ar + sk_ar - S
+        l_ar = j_ar + sl_ar - S
+        vm1_p = _shift_p(vm1, i_ar)
+        vm2_p = _shift_p(vm2, i_ar)
+
+        best = None
+        for (x0, x1, x2, x3), const, m1c, m2c in external:
+            pred = (vm1_p if x0 == 1 else vm1) if x0 + x1 == 1 else (
+                vm2_p if x0 == 1 else vm2
+            )
+            shifted = _shift_w(pred, x2 - x0, x3 - x1)
+            g = (
+                (i_ar >= x0) & (j_ar >= x1) & (k_ar >= x2) & (l_ar >= x3)
+                & (sk_ar - x2 + x0 >= 0) & (sk_ar - x2 + x0 < W)
+                & (sl_ar - x3 + x1 >= 0) & (sl_ar - x3 + x1 < W)
+            )
+            contrib = shifted + const + m1c * mu1_row + m2c * mu2_blk
+            c = jnp.where(g, contrib, INVALID)
+            best = c if best is None else jnp.maximum(best, c)
+
+        val = jnp.where(best == INVALID, NEG_INF, best)
+        is_d0 = (d == 0)
+        val = jnp.where(is_d0 & origin_pos, 0, val)
+        protect = is_d0 & origin_pos
+
+        # within-diagonal str-only cases; dependencies strictly decrease
+        # t = sk + sl
+        for t in range(1, 4 * S + 1):
+            commit = (sk_ar + sl_ar == t) & ~protect
+            b2 = best
+            for (x0, x1, x2, x3), const, m2c in internal:
+                shifted = _shift_w(val, x2, x3)
+                g = (
+                    (k_ar >= x2) & (l_ar >= x3)
+                    & (sk_ar >= x2) & (sl_ar >= x3)
+                )
+                contrib = shifted + const + m2c * mu2_blk
+                b2 = jnp.maximum(b2, jnp.where(g, contrib, INVALID))
+            v2 = jnp.where(b2 == INVALID, NEG_INF, b2)
+            best = jnp.where(commit, b2, best)
+            val = jnp.where(commit, v2, val)
+        return val
+
+    return update
+
+
+def _nonaffine_kernel(S: int, params, Ppad: int):
+    """Single-pair non-affine kernel body (grid over diagonals)."""
+    W = 2 * S + 1
+    update = _make_nonaffine_update(S, params, Ppad)
+
+    def kernel(mu1_ref, mu2_ref, out_ref, vm1_ref, vm2_ref):
+        d = pl.program_id(0)
+
+        @pl.when(d == 0)
+        def _():
+            vm1_ref[:] = jnp.full((W, W, Ppad), INVALID, jnp.int32)
+            vm2_ref[:] = jnp.full((W, W, Ppad), INVALID, jnp.int32)
+
+        val = update(d, mu1_ref[0, 0], mu2_ref[0], vm1_ref[:], vm2_ref[:])
+        out_ref[0] = val
+        vm2_ref[:] = vm1_ref[:]
+        vm1_ref[:] = val
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def _nonaffine_pallas(mu1d, mu2d, n, m, max_shift, params, score_only,
+                      interpret):
+    S = max_shift
+    W = 2 * S + 1
+    D = n + m + 1
+    Ppad = mu1d.shape[1]
+
+    mu1d = mu1d.reshape(mu1d.shape[0], 1, Ppad)
+    kernel = _nonaffine_kernel(S, params, Ppad)
+    if score_only:
+        out_shape = jax.ShapeDtypeStruct((1, W, W, Ppad), jnp.int32)
+        out_index = lambda d: (0, 0, 0, 0)
+    else:
+        out_shape = jax.ShapeDtypeStruct((D, W, W, Ppad), jnp.int32)
+        out_index = lambda d: (d, 0, 0, 0)
+
+    slab = pltpu.VMEM((W, W, Ppad), jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid=(D,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Ppad), lambda d: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, W, Ppad), lambda d: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, W, W, Ppad), out_index,
+                               memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        scratch_shapes=[slab, slab],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(mu1d, mu2d)
+
+
+def fill_nonaffine_device(mu1, mu2, max_shift, gamma, delta, *,
+                          interpret=None):
+    """Non-affine Pallas fill; returns a DeviceBand (p_last layout)."""
+    from .band import DeviceBand
+
+    n = mu1.shape[0] - 1
+    m = mu1.shape[1] - 1
+    S = max_shift
+    if interpret is None:
+        interpret = not _on_tpu()
+    mu1d, mu2d = _diag_mu_tables_plast(np.asarray(mu1), np.asarray(mu2), S)
+    ys = _nonaffine_pallas(
+        mu1d, mu2d, n, m, S, (gamma, delta), False, interpret
+    )
+    return DeviceBand(ys=ys, n=n, m=m, max_shift=S, affine=False,
+                      p_last=True)
+
+
+def nonaffine_score(mu1, mu2, max_shift, gamma, delta, *, interpret=None):
+    """Non-affine optimal score via the Pallas kernel (score-only path)."""
+    n = mu1.shape[0] - 1
+    m = mu1.shape[1] - 1
+    S = max_shift
+    if interpret is None:
+        interpret = not _on_tpu()
+    mu1d, mu2d = _diag_mu_tables_plast(np.asarray(mu1), np.asarray(mu2), S)
+    last = _nonaffine_pallas(
+        mu1d, mu2d, n, m, S, (gamma, delta), True, interpret
+    )
+    return int(jax.device_get(last[0, S, S, n]))
 
 
 def _affine_kernel(n: int, m: int, S: int, params, Ppad: int,

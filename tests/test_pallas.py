@@ -76,3 +76,58 @@ def test_pallas_score_only():
     want = reference_dp.affine_score_from_band(H, 9, 11, 1)
     got = pallas_dp.affine_score(mu1, mu2, 1, -150, -50, -150)
     assert got == want
+
+
+NA_CASES = [
+    (5, 7, 1, -200, -250),
+    (8, 8, 2, -200, -250),
+    (12, 3, 1, -100, -150),
+    (1, 1, 1, -200, -250),
+    (6, 6, 2, -50, -100),
+]
+
+
+@pytest.mark.parametrize("n,m,S,gamma,delta", NA_CASES)
+def test_pallas_nonaffine_band_matches_oracle(n, m, S, gamma, delta):
+    rng = np.random.default_rng(n * 31 + m * 7 + S)
+    mu1, mu2 = _rand_pair(rng, n, m)
+    H = reference_dp.fill_nonaffine(mu1, mu2, S, gamma, delta)
+    band = pallas_dp.fill_nonaffine_device(mu1, mu2, S, gamma, delta)
+    got = band.to_numpy()
+    assert got.shape == H.shape
+    ok = _genuine_mask(n, m, S)
+    assert np.where(ok, got == H, True).all(), (
+        f"mismatch at {np.argwhere(ok & (got != H))[:5]}"
+    )
+    assert band.final_score() == reference_dp.nonaffine_score_from_band(
+        H, n, m, S
+    )
+    want = pallas_dp.nonaffine_score(mu1, mu2, S, gamma, delta)
+    assert want == band.final_score()
+
+
+@pytest.mark.parametrize("n,m,S,gamma,delta", NA_CASES[:3])
+def test_pallas_nonaffine_device_traceback(n, m, S, gamma, delta):
+    rng = np.random.default_rng(n + m + S + 1)
+    mu1, mu2 = _rand_pair(rng, n, m)
+    H = reference_dp.fill_nonaffine(mu1, mu2, S, gamma, delta)
+    want = host_tb.nonaffine_traceback(H, mu1, mu2, S, gamma, delta)
+    band = pallas_dp.fill_nonaffine_device(mu1, mu2, S, gamma, delta)
+    got = dtb.nonaffine_traceback(band, gamma, delta, mu1, mu2)
+    assert [tuple(c) for c in got] == [tuple(c) for c in want]
+
+
+def test_pallas_engine_nonaffine_golden_rna():
+    """README toy RNA, non-affine CLI defaults → SCORE 6300 (BASELINE.md)."""
+    from bialign_tpu import BiAligner
+
+    ba = BiAligner(
+        "GCGGGGGAUAUCCCCAUCG", "GGGGAUAUCCCCAUCG",
+        "...(((.....))).....", ".(((.....)))....."[:16],
+        engine="pallas", type="RNA", structure_weight=400,
+        gap_opening_cost=0, gap_cost=-200, shift_cost=-250, max_shift=2,
+    )
+    assert ba.optimize() == 6300
+    lines = list(ba.decode_trace())
+    assert lines[0].split()[-1] == "GCGGGGGAUAUCCCCAUCG"
+    assert lines[1].split()[-1] == "--GGGGAUAUCCCC-AUCG"
