@@ -89,8 +89,7 @@ def _affine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n):
     2 = stuck (the reference's incomplete-traceback warning case).
     """
     S = max_shift
-    D = ys.shape[0]
-    m = D - 1 - n
+    m = mu1.shape[1] - 1   # NOT ys.shape[0]-1-n: the band may be padded
     Lmax = 2 * (n + m) + 1
 
     src_t, col_t, mults_t = _affine_static_tables()
@@ -134,7 +133,7 @@ def _affine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n):
             & (jnp.abs(pk - pi) <= S) & (jnp.abs(pl - pj) <= S)
         )
         ci_ = jnp.clip(pi, 0, n)
-        cd_ = jnp.clip(pi + pj, 0, D - 1)
+        cd_ = jnp.clip(pi + pj, 0, n + m)
         csk = jnp.clip(pk - pi + S, 0, 2 * S)
         csl = jnp.clip(pl - pj + S, 0, 2 * S)
         pred_cells = (
@@ -218,8 +217,7 @@ def affine_traceback(band: DeviceBand, beta: int, gamma: int, delta: int,
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _nonaffine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n):
     S = max_shift
-    D = ys.shape[0]
-    m = D - 1 - n
+    m = mu1.shape[1] - 1   # NOT ys.shape[0]-1-n: the band may be padded
     Lmax = 2 * (n + m) + 1
 
     COL = jnp.asarray(np.asarray(NONAFFINE_COLS, dtype=np.int32))  # [13,4]

@@ -269,23 +269,35 @@ def _make_nonaffine_update(S: int, params, Ppad: int):
     return update
 
 
-def _nonaffine_kernel(S: int, params, Ppad: int):
-    """Single-pair non-affine kernel body (grid over diagonals)."""
+def _nonaffine_kernel(D: int, G: int, S: int, params, Ppad: int,
+                      score_only: bool):
+    """Single-pair non-affine kernel body (G diagonals per grid step)."""
     W = 2 * S + 1
     update = _make_nonaffine_update(S, params, Ppad)
 
     def kernel(mu1_ref, mu2_ref, out_ref, vm1_ref, vm2_ref):
-        d = pl.program_id(0)
+        g = pl.program_id(0)
 
-        @pl.when(d == 0)
+        @pl.when(g == 0)
         def _():
             vm1_ref[:] = jnp.full((W, W, Ppad), INVALID, jnp.int32)
             vm2_ref[:] = jnp.full((W, W, Ppad), INVALID, jnp.int32)
 
-        val = update(d, mu1_ref[0, 0], mu2_ref[0], vm1_ref[:], vm2_ref[:])
-        out_ref[0] = val
-        vm2_ref[:] = vm1_ref[:]
-        vm1_ref[:] = val
+        v1 = vm1_ref[:]
+        v2 = vm2_ref[:]
+        for u in range(G):
+            d = g * G + u
+            val = update(d, mu1_ref[u, 0], mu2_ref[u], v1, v2)
+            if score_only:
+                @pl.when(d == D - 1)
+                def _(val=val):
+                    out_ref[0] = val
+            else:
+                out_ref[u] = val
+            v2 = v1
+            v1 = val
+        vm1_ref[:] = v1
+        vm2_ref[:] = v2
 
     return kernel
 
@@ -297,28 +309,41 @@ def _nonaffine_pallas(mu1d, mu2d, n, m, max_shift, params, score_only,
     W = 2 * S + 1
     D = n + m + 1
     Ppad = mu1d.shape[1]
+    # non-affine slabs have no state axis: out block is Q x smaller
+    slab_bytes = W * W * Ppad * 4
+    out_bytes = 4 if score_only else slab_bytes
+    per_diag = 2 * (W * W * Ppad * 4 + Ppad * 4 + out_bytes)
+    G = 1 if interpret else int(
+        min(max(1, min(16, (6 * 1024 * 1024) // per_diag)), D)
+    )
+    Dg = -(-D // G)
+    D_pad = Dg * G
 
     mu1d = mu1d.reshape(mu1d.shape[0], 1, Ppad)
-    kernel = _nonaffine_kernel(S, params, Ppad)
+    if D_pad > D:
+        mu1d = jnp.pad(mu1d, ((0, D_pad - D), (0, 0), (0, 0)))
+        mu2d = jnp.pad(mu2d, ((0, D_pad - D), (0, 0), (0, 0), (0, 0)))
+    kernel = _nonaffine_kernel(D, G, S, params, Ppad, score_only)
     if score_only:
         out_shape = jax.ShapeDtypeStruct((1, W, W, Ppad), jnp.int32)
-        out_index = lambda d: (0, 0, 0, 0)
+        out_specs = pl.BlockSpec((1, W, W, Ppad), lambda g: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
     else:
-        out_shape = jax.ShapeDtypeStruct((D, W, W, Ppad), jnp.int32)
-        out_index = lambda d: (d, 0, 0, 0)
+        out_shape = jax.ShapeDtypeStruct((D_pad, W, W, Ppad), jnp.int32)
+        out_specs = pl.BlockSpec((G, W, W, Ppad), lambda g: (g, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
 
     slab = pltpu.VMEM((W, W, Ppad), jnp.int32)
     return pl.pallas_call(
         kernel,
-        grid=(D,),
+        grid=(Dg,),
         in_specs=[
-            pl.BlockSpec((1, 1, Ppad), lambda d: (d, 0, 0),
+            pl.BlockSpec((G, 1, Ppad), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, W, Ppad), lambda d: (d, 0, 0, 0),
+            pl.BlockSpec((G, W, W, Ppad), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, W, W, Ppad), out_index,
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[slab, slab],
         interpret=interpret,
@@ -360,27 +385,61 @@ def nonaffine_score(mu1, mu2, max_shift, gamma, delta, *, interpret=None):
     return int(jax.device_get(last[0, S, S, n]))
 
 
-def _affine_kernel(n: int, m: int, S: int, params, Ppad: int,
+def _affine_kernel(D: int, G: int, S: int, params, Ppad: int,
                    score_only: bool):
-    """Single-pair kernel body (grid over diagonals)."""
+    """Single-pair kernel body: each grid step advances G diagonals.
+
+    Chunking amortizes the per-step grid/pipelining overhead (the slab
+    math itself is far from VMEM- or VPU-bound at these sizes); the carry
+    rides SSA values within a chunk and round-trips the VMEM scratch
+    slabs only at chunk boundaries.  Diagonals past D-1 (the padded tail
+    of the last chunk) compute garbage that is provably never read.
+    """
     Q = N_STATES
     W = 2 * S + 1
     update = _make_update(S, params, Ppad)
 
     def kernel(mu1_ref, mu2_ref, out_ref, vm1_ref, vm2_ref):
-        d = pl.program_id(0)
+        g = pl.program_id(0)
 
-        @pl.when(d == 0)
+        @pl.when(g == 0)
         def _():
             vm1_ref[:] = jnp.full((Q, W, W, Ppad), INVALID, jnp.int32)
             vm2_ref[:] = jnp.full((Q, W, W, Ppad), INVALID, jnp.int32)
 
-        val = update(d, mu1_ref[0, 0], mu2_ref[0], vm1_ref[:], vm2_ref[:])
-        out_ref[0] = val
-        vm2_ref[:] = vm1_ref[:]
-        vm1_ref[:] = val
+        v1 = vm1_ref[:]
+        v2 = vm2_ref[:]
+        for u in range(G):
+            d = g * G + u
+            val = update(d, mu1_ref[u, 0], mu2_ref[u], v1, v2)
+            if score_only:
+                @pl.when(d == D - 1)
+                def _(val=val):
+                    out_ref[0] = val
+            else:
+                out_ref[u] = val
+            v2 = v1
+            v1 = val
+        vm1_ref[:] = v1
+        vm2_ref[:] = v2
 
     return kernel
+
+
+def _pick_chunk(D: int, S: int, Ppad: int, score_only: bool,
+                interpret: bool) -> int:
+    """Diagonals per grid step, sized to keep pipelined VMEM blocks small
+    (~16 MB/core budget): in-flight = 2*(mu blocks) + 2*(out block).
+    Interpret mode (CPU tests) keeps G=1 — unrolling only pays on TPU."""
+    if interpret:
+        return 1
+    W = 2 * S + 1
+    slab_bytes = N_STATES * W * W * Ppad * 4
+    out_bytes = 4 if score_only else slab_bytes    # per diagonal
+    per_diag = 2 * (W * W * Ppad * 4 + Ppad * 4 + out_bytes)
+    budget = 6 * 1024 * 1024
+    G = max(1, min(16, budget // max(per_diag, 1)))
+    return int(min(G, max(1, D)))
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
@@ -391,28 +450,37 @@ def _affine_pallas(mu1d, mu2d, n, m, max_shift, params, score_only,
     Q = N_STATES
     D = n + m + 1
     Ppad = mu1d.shape[1]
+    G = _pick_chunk(D, S, Ppad, score_only, interpret)
+    Dg = -(-D // G)
+    D_pad = Dg * G
 
     mu1d = mu1d.reshape(mu1d.shape[0], 1, Ppad)
-    kernel = _affine_kernel(n, m, S, params, Ppad, score_only)
+    if D_pad > D:
+        mu1d = jnp.pad(mu1d, ((0, D_pad - D), (0, 0), (0, 0)))
+        mu2d = jnp.pad(mu2d, ((0, D_pad - D), (0, 0), (0, 0), (0, 0)))
+    kernel = _affine_kernel(D, G, S, params, Ppad, score_only)
     if score_only:
         out_shape = jax.ShapeDtypeStruct((1, Q, W, W, Ppad), jnp.int32)
-        out_index = lambda d: (0, 0, 0, 0, 0)
+        out_specs = pl.BlockSpec((1, Q, W, W, Ppad),
+                                 lambda g: (0, 0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
     else:
-        out_shape = jax.ShapeDtypeStruct((D, Q, W, W, Ppad), jnp.int32)
-        out_index = lambda d: (d, 0, 0, 0, 0)
+        out_shape = jax.ShapeDtypeStruct((D_pad, Q, W, W, Ppad), jnp.int32)
+        out_specs = pl.BlockSpec((G, Q, W, W, Ppad),
+                                 lambda g: (g, 0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
 
     slab = pltpu.VMEM((Q, W, W, Ppad), jnp.int32)
     return pl.pallas_call(
         kernel,
-        grid=(D,),
+        grid=(Dg,),
         in_specs=[
-            pl.BlockSpec((1, 1, Ppad), lambda d: (d, 0, 0),
+            pl.BlockSpec((G, 1, Ppad), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, W, Ppad), lambda d: (d, 0, 0, 0),
+            pl.BlockSpec((G, W, W, Ppad), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Q, W, W, Ppad), out_index,
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[slab, slab],
         interpret=interpret,
@@ -605,4 +673,4 @@ def affine_scan(mu1d, mu2d, n, m, max_shift, params, score_only=False):
     ys = jnp.moveaxis(ys, -1, 2)[:, :, :P]       # [D?, Q, P, W, W]
     if score_only:
         return ys[0], None
-    return ys[-1], ys
+    return ys[n + m], ys[:n + m + 1]   # padded chunk tail is garbage
