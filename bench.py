@@ -6,6 +6,14 @@ thread).  This benchmark runs the same problem (README CLI flags:
 gap -150/-50, shift -150, structure_weight 800, BLOSUM62) through the
 Pallas wavefront kernel on TPU (XLA scan engine on other backends),
 score-only, steady-state (post-compile), and prints ONE JSON line.
+
+Timing methodology: the serving platform exhibits a large fixed
+per-program-execution latency (tens of ms through the device tunnel) and
+``block_until_ready`` does not reliably block, so single-call wall-clock
+timing is meaningless.  We therefore time a jitted program that chains K
+kernel invocations (distinct inputs, so XLA cannot CSE them), force
+completion with ``jax.device_get`` of the scores, and take the marginal
+slope between two K values — the fixed round-trip cancels exactly.
 """
 
 import json
@@ -13,14 +21,15 @@ import time
 
 import numpy as np
 
+K_LO = 1
+K_HI = 17
+REPS = 4
 
-def main():
-    import jax
 
+def _build_problem():
     from bialign_tpu.io.cfssp import read_molecule_from_file
     from bialign_tpu.models.molecule import preprocess_molecule
     from bialign_tpu.scoring.tables import build_score_tables
-    from bialign_tpu.ops import pallas_dp, xla_dp
 
     ex = "/root/reference/Examples"
     seqA, strA = read_molecule_from_file(
@@ -36,50 +45,69 @@ def main():
     molA = preprocess_molecule(seqA, strA, is_rna=False)
     molB = preprocess_molecule(seqB, strB, is_rna=False)
     mu1, mu2 = build_score_tables(molA, molB, params, is_rna=False)
+    return mu1, mu2, len(seqA), len(seqB), params
 
-    n, m, S = len(seqA), len(seqB), params["max_shift"]
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bialign_tpu.ops import pallas_dp, xla_dp
+
+    mu1, mu2, n, m, params = _build_problem()
+    S = params["max_shift"]
     ptuple = (params["gap_opening_cost"], params["gap_cost"],
               params["shift_cost"])
     on_tpu = pallas_dp._on_tpu()
 
     if on_tpu:
         mu1d, mu2d = pallas_dp._diag_mu_tables_plast(mu1, mu2, S)
-        mu1d = jax.device_put(mu1d)
-        mu2d = jax.device_put(mu2d)
 
-        def run():
-            out = pallas_dp._affine_pallas(
-                mu1d, mu2d, n, m, S, ptuple, True, False
-            )
-            out.block_until_ready()
-            return out
-
-        last = run()  # compile
-        score = int(jax.device_get(pallas_dp._slab_score(last, S, n)))
+        def one(m1, m2):
+            o = pallas_dp._affine_pallas(m1, m2, n, m, S, ptuple, True,
+                                         False)
+            return jnp.max(o[0, :, S, S, n])
     else:
         mu1d, mu2d = xla_dp._diag_mu_tables(mu1, mu2, S)
-        mu1d = jax.device_put(mu1d)
-        mu2d = jax.device_put(mu2d)
 
-        def run():
-            last, _ = xla_dp._affine_scan(mu1d, mu2d, n, m, S, ptuple, True)
-            last.block_until_ready()
-            return last
+        def one(m1, m2):
+            last, _ = xla_dp._affine_scan(m1, m2, n, m, S, ptuple, True)
+            return jnp.max(last[:, n, S, S])
 
-        last = run()
-        score = int(np.max(np.asarray(last[:, n, S, S])))
+    mu1d = jax.device_put(mu1d)
+    mu2d = jax.device_put(mu2d)
 
-    assert score == 761500, f"SCORE mismatch: {score} (expect 761500)"
+    def make_chain(K):
+        @jax.jit
+        def f(m1, m2):
+            # kk perturbs the inputs so XLA cannot CSE the K kernels
+            return jnp.stack([one(m1 + kk, m2) for kk in range(K)])
+        return f
 
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    f_lo = make_chain(K_LO)
+    f_hi = make_chain(K_HI)
+
+    scores = jax.device_get(f_lo(mu1d, mu2d))
+    assert int(scores[0]) == 761500, f"SCORE mismatch: {scores[0]}"
+    jax.device_get(f_hi(mu1d, mu2d))  # compile
+
+    def timed(f):
+        ts = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            out = jax.device_get(f(mu1d, mu2d))
+            ts.append(time.perf_counter() - t0)
+            assert int(out[0]) == 761500
+        return min(ts)
+
+    t_lo = timed(f_lo)
+    t_hi = timed(f_hi)
+    per = (t_hi - t_lo) / (K_HI - K_LO)
+    if per <= 0:  # noise floor: fall back to the conservative estimate
+        per = t_hi / K_HI
 
     cells = (n + 1) * (m + 1) * (2 * S + 1) ** 2
-    value = cells / best
+    value = cells / per
     baseline = cells / 626.7  # reference Cython, bialign.ipynb cell 5
     print(json.dumps({
         "metric": "dnapol1_affine_ms1_4d_cells_per_s",

@@ -1,20 +1,32 @@
-"""Pallas TPU kernel for the affine bi-alignment wavefront.
+"""Pallas TPU kernel for the bi-alignment wavefront (affine + non-affine).
 
 The XLA scan (:mod:`bialign_tpu.ops.xla_dp`) round-trips its carry
 through HBM every diagonal and leaves vector-register layout to the
 compiler.  This kernel owns both: the per-diagonal slabs live in VMEM
-scratch across a 1-D grid over anti-diagonals ``d = i + j``, the lattice
-row ``i`` is mapped to vector *lanes* (P padded to 128), the shift
-offsets ``(sk, sl)`` to the small leading dims, and the 9 affine states
-unroll into straight-line VPU code.  Per step only the mu tables stream
-in (pipelined by the BlockSpec machinery) and one slab streams out.
+scratch across a 1-D grid over anti-diagonals ``d = i + j``, and the
+slab layout is ``[Q, W, W, SUB, LANES]`` where the lattice row
+``i = sub * LANES + lane`` occupies the full minor (sublane, lane) pair —
+every vector register is 100% dense (packing ``i`` only into lanes wastes
+5/8 of each vreg on the sublane axis when W < 8).  The small static shift
+dims ``(sk, sl)`` and the 9 affine states are *leading* axes, so:
+
+* shifts along (sk, sl) are static pad+slice on pre-vreg axes — pure
+  vreg re-selection, no data movement;
+* the within-diagonal group-B sweep over shift anti-diagonals
+  ``t = sk + sl`` touches ONLY the (sk, sl) rows of its own ``t``
+  (single-vreg-row ops) instead of re-masking the whole slab;
+* the lattice-row advance (i -> i-1) is one lane roll + one sublane roll
+  + two selects.
 
 Same case algebra as the XLA engine — group A (full columns, 9 sources),
-group C (seq-only half columns), and the within-diagonal group-B sweep
-over shift anti-diagonals ``t = sk + sl`` (reference recursion:
-bialignment.pyx:255-296, 474-509).  Bit-exact int32; validated against
-the numpy oracle and the XLA engine in tests/test_pallas.py (interpret
-mode on CPU, compiled on TPU).
+group C (seq-only half columns), group B (str-only half columns, swept in
+``t`` order) — reference recursion: bialignment.pyx:255-296, 443-509.
+In groups A/B/C the (sk, sl) shift offset depends only on the TARGET
+state, never on the source, so the max over sources is taken before the
+single shift; bit-identical because shift-fill positions are exactly the
+positions the per-group guards mask to INVALID.  Bit-exact int32;
+validated against the numpy oracle and the XLA engine in
+tests/test_pallas.py (interpret mode on CPU, compiled on TPU).
 
 Band layout note: output is ``ys[d, q, sk, sl, i]`` (P LAST, unlike the
 XLA engine's ``ys[d, q, i, sk, sl]``); :class:`~bialign_tpu.ops.band.
@@ -52,38 +64,76 @@ def _round_up(x: int, q: int) -> int:
 
 
 def _shift_w(x, dk: int, dl: int):
-    """result[..., sk, sl, :] = x[..., sk-dk, sl-dl, :], INVALID fill.
+    """result[..., sk, sl, :, :] = x[..., sk-dk, sl-dl, :, :], INVALID fill.
 
-    Shifts along the small static shift dims (axes -3, -2); the P/lane
-    axis is untouched.  Static pad+slice — unrolls to sublane moves.
+    Shifts along the small static shift dims (axes -4, -3); these are
+    leading (pre-vreg) axes, so the static pad+slice compiles to plain
+    vreg re-selection plus INVALID-constant blocks.
     """
-    W = x.shape[-3]
-    pad = [(0, 0)] * (x.ndim - 3) + [
+    W = x.shape[-4]
+    pad = [(0, 0)] * (x.ndim - 4) + [
         (max(dk, 0), max(-dk, 0)),
         (max(dl, 0), max(-dl, 0)),
+        (0, 0),
         (0, 0),
     ]
     padded = jnp.pad(x, pad, constant_values=INVALID)
     sl_ = tuple(
-        [slice(None)] * (x.ndim - 3)
+        [slice(None)] * (x.ndim - 4)
         + [
             slice(max(-dk, 0), max(-dk, 0) + W),
             slice(max(-dl, 0), max(-dl, 0) + W),
+            slice(None),
             slice(None),
         ]
     )
     return padded[sl_]
 
 
-def _shift_p(x, lane_idx):
-    """result[..., i] = x[..., i-1], INVALID at lane 0 (lane roll+mask)."""
-    rolled = pltpu.roll(x, shift=1, axis=x.ndim - 1)
-    return jnp.where(lane_idx == 0, INVALID, rolled)
+def _shift_i(x, sub_i, lane_i):
+    """result at lattice row i reads row i-1; INVALID at i == 0.
+
+    With i = sub * LANES + lane, row i-1 is the previous lane, except at
+    lane 0 where it wraps to lane LANES-1 of the previous sublane: one
+    lane roll, one sublane roll, two selects.
+    """
+    r = pltpu.roll(x, shift=1, axis=x.ndim - 1)
+    r2 = pltpu.roll(r, shift=1, axis=x.ndim - 2)
+    y = jnp.where(lane_i == 0, r2, r)
+    return jnp.where((lane_i == 0) & (sub_i == 0), INVALID, y)
 
 
-def _make_update(S: int, params, Ppad: int):
+def _set_row(x, sk: int, sl: int, row):
+    """x.at[sk, sl].set(row) for static (sk, sl) leading indices of a
+    [W, W, SUB, LANES] slab, rebuilt with stacks — Pallas TPU has no
+    scatter, and leading-dim restacking is pure vreg re-selection."""
+    W0, W1 = x.shape[0], x.shape[1]
+    outer = []
+    for u in range(W0):
+        if u == sk:
+            outer.append(jnp.stack(
+                [row if v == sl else x[u, v] for v in range(W1)]
+            ))
+        else:
+            outer.append(x[u])
+    return jnp.stack(outer)
+
+
+def _t_rows(W: int):
+    """(sk, sl) rows grouped by shift anti-diagonal t = sk + sl."""
+    return [
+        [(sk, sl) for sk in range(W) for sl in range(W) if sk + sl == t]
+        for t in range(2 * (W - 1) + 1)
+    ]
+
+
+def _make_update(S: int, params, SUB: int):
     """Pure per-diagonal slab update shared by the single-pair and the
-    batched kernels: (d, mu1_row, mu2_blk, vm1, vm2) -> val."""
+    batched kernels: (d, mu1_row, mu2_blk, vm1, vm2) -> val.
+
+    mu1_row: [SUB, LANES]; mu2_blk: [W, W, SUB, LANES];
+    vm1/vm2 (the previous two diagonals): [Q, W, W, SUB, LANES].
+    """
     beta, gamma, delta = params
     W = 2 * S + 1
     Q = N_STATES
@@ -97,109 +147,121 @@ def _make_update(S: int, params, Ppad: int):
     mu2_coef = tabs.mu2_coef.tolist()
     b_mu2 = tabs.b_mu2_coef.tolist()
     c_mu1 = tabs.c_mu1_coef.tolist()
+    rows_by_t = _t_rows(W)
 
-    shape = (W, W, Ppad)
+    shape2 = (SUB, LANES)
+    shape4 = (W, W, SUB, LANES)
 
     def update(d, mu1_row, mu2_blk, vm1, vm2):
-        i_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-        sk_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        sl_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        origin_pos = (i_ar == 0) & (sk_ar == S) & (sl_ar == S)
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
+        i2 = sub_i * LANES + lane_i
+        j2 = d - i2
 
-        j_ar = d - i_ar
-        k_ar = i_ar + sk_ar - S
-        l_ar = j_ar + sl_ar - S
+        sk4 = jax.lax.broadcasted_iota(jnp.int32, shape4, 0)
+        sl4 = jax.lax.broadcasted_iota(jnp.int32, shape4, 1)
+        i4 = jnp.broadcast_to(i2, shape4)
+        j4 = d - i4
+        k4 = i4 + sk4 - S
+        l4 = j4 + sl4 - S
+
         # predecessor slabs advanced by one lattice row (column a == 1)
-        vm1_p = _shift_p(vm1, i_ar)
-        vm2_p = _shift_p(vm2, i_ar)
+        vm1_p = _shift_i(vm1, sub_i, lane_i)
+        vm2_p = _shift_i(vm2, sub_i, lane_i)
+        preds = {(0, 1): vm1, (1, 0): vm1_p, (1, 1): vm2_p}
 
+        # In every case group the (sk, sl) shift offset depends only on
+        # the TARGET state q, never on the source, so the max over sources
+        # is taken first and _shift_w runs once per (q, group).  Bit-
+        # identical: shift-fill positions are exactly the positions the
+        # per-group guard masks to INVALID, and adding the case constant
+        # before/after the shift only differs at those fills.
         best = []
+        val = []
         for q in range(Q):
             a, b, c, dd = STATES[q]
-            pred0 = vm1 if a + b == 1 else vm2
-            pred1 = vm1_p if a + b == 1 else vm2_p
-            pred = pred1 if a == 1 else pred0
+            pred = preds[(a, b)]
 
             # group A: full column == state q, all 9 sources
-            agg = None
-            for s in range(Q):
-                contrib = _shift_w(pred[s], c - a, dd - b) + a_const[q][s]
-                agg = contrib if agg is None else jnp.maximum(agg, contrib)
-            mu_term = mu1_coef[q] * mu1_row + mu2_coef[q] * mu2_blk
+            agg = pred[0] + a_const[q][0]
+            for s in range(1, Q):
+                agg = jnp.maximum(agg, pred[s] + a_const[q][s])
+            agg = _shift_w(agg, c - a, dd - b)
+            if mu1_coef[q]:
+                agg = agg + mu1_row
+            if mu2_coef[q]:
+                agg = agg + mu2_blk
             gA = (
-                (i_ar >= a) & (j_ar >= b) & (k_ar >= c) & (l_ar >= dd)
-                & (sk_ar - c + a >= 0) & (sk_ar - c + a < W)
-                & (sl_ar - dd + b >= 0) & (sl_ar - dd + b < W)
+                (i4 >= a) & (j4 >= b) & (k4 >= c) & (l4 >= dd)
+                & (sk4 - c + a >= 0) & (sk4 - c + a < W)
+                & (sl4 - dd + b >= 0) & (sl4 - dd + b < W)
             )
-            cA = jnp.where(gA, agg + mu_term, INVALID)
+            cA = jnp.where(gA, agg, INVALID)
 
             # group C: seq-only half column (a, b, 0, 0); predecessor
             # shift indices grow: sk' = sk + a, sl' = sl + b
-            predc = pred1 if a == 1 else pred0
-            aggC = None
-            for h in range(3):
-                contrib = (
-                    _shift_w(predc[c_src[q][h]], -a, -b) + c_const[q][h]
-                )
-                aggC = (
-                    contrib if aggC is None else jnp.maximum(aggC, contrib)
-                )
+            aggC = pred[c_src[q][0]] + c_const[q][0]
+            for h in (1, 2):
+                aggC = jnp.maximum(aggC, pred[c_src[q][h]] + c_const[q][h])
+            aggC = _shift_w(aggC, -a, -b)
+            if c_mu1[q]:
+                aggC = aggC + mu1_row
             gC = (
-                (i_ar >= a) & (j_ar >= b)
-                & (sk_ar + a < W) & (sl_ar + b < W)
+                (i4 >= a) & (j4 >= b)
+                & (sk4 + a < W) & (sl4 + b < W)
             )
-            cC = jnp.where(gC, aggC + c_mu1[q] * mu1_row, INVALID)
+            cC = jnp.where(gC, aggC, INVALID)
 
-            best.append(jnp.maximum(cA, cC))
-
-        best = jnp.stack(best)                   # [Q, W, W, Ppad]
-        val = jnp.where(best == INVALID, NEG_INF, best)
+            bq = jnp.maximum(cA, cC)
+            best.append(bq)
+            val.append(jnp.where(bq == INVALID, NEG_INF, bq))
 
         # origin initialization (pyx:483-485), diagonal 0 only
-        is_d0 = (d == 0)
-        q_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, 1, 1, 1), 0)
-        init_col = jnp.where(q_iota == STATE_BOTH_MATCH, 0, NEG_INF)
-        val = jnp.where(is_d0 & origin_pos, init_col, val)
-        protect = is_d0 & origin_pos
+        is_d0 = d == 0
+        protect2 = is_d0 & (i2 == 0)
+        for q in range(Q):
+            init_q = 0 if q == STATE_BOTH_MATCH else NEG_INF
+            row = jnp.where(protect2, init_q, val[q][S, S])
+            val[q] = _set_row(val[q], S, S, row)
 
         # group B sweep: str-only half columns move within this diagonal;
-        # dependencies strictly decrease t = sk + sl
+        # dependencies strictly decrease t = sk + sl, so only the (sk, sl)
+        # rows of each t are touched (their sources, at t - (c+dd) < t,
+        # are already final).  ``best`` never needs updating: each row is
+        # committed exactly once and reads its own pre-B best.
         for t in range(1, 4 * S + 1):
-            commit = (sk_ar + sl_ar == t) & ~protect
-            newb = []
-            newv = []
-            for q in range(Q):
-                _a, _b, c, dd = STATES[q]
-                aggB = None
-                for h in range(3):
-                    contrib = (
-                        _shift_w(val[b_src[q][h]], c, dd) + b_const[q][h]
-                    )
-                    aggB = (
-                        contrib if aggB is None
-                        else jnp.maximum(aggB, contrib)
-                    )
-                gB = (
-                    (k_ar >= c) & (l_ar >= dd)
-                    & (sk_ar >= c) & (sl_ar >= dd)
-                )
-                cB = jnp.where(gB, aggB + b_mu2[q] * mu2_blk, INVALID)
-                bq = jnp.maximum(best[q], cB)
-                vq = jnp.where(bq == INVALID, NEG_INF, bq)
-                newb.append(jnp.where(commit, bq, best[q]))
-                newv.append(jnp.where(commit, vq, val[q]))
-            best = jnp.stack(newb)
-            val = jnp.stack(newv)
+            for sk, sl in rows_by_t[t]:
+                for q in range(Q):
+                    _a, _b, c, dd = STATES[q]
+                    if sk < c or sl < dd:
+                        continue  # source row outside the slab: case dead
+                    aggB = val[b_src[q][0]][sk - c, sl - dd] + b_const[q][0]
+                    for h in (1, 2):
+                        aggB = jnp.maximum(
+                            aggB,
+                            val[b_src[q][h]][sk - c, sl - dd]
+                            + b_const[q][h],
+                        )
+                    if b_mu2[q]:
+                        aggB = aggB + mu2_blk[sk, sl]
+                    # (k >= c) & (l >= dd) at this row
+                    gB = (i2 >= S - sk + c) & (j2 >= S - sl + dd)
+                    cB = jnp.where(gB, aggB, INVALID)
+                    bq = jnp.maximum(best[q][sk, sl], cB)
+                    vq = jnp.where(bq == INVALID, NEG_INF, bq)
+                    if (sk, sl) == (S, S):
+                        vq = jnp.where(protect2, val[q][S, S], vq)
+                    val[q] = _set_row(val[q], sk, sl, vq)
 
-        return val
+        return jnp.stack(val)
 
     return update
 
 
-def _make_nonaffine_update(S: int, params, Ppad: int):
+def _make_nonaffine_update(S: int, params, SUB: int):
     """Per-diagonal slab update for the 13-case non-affine recurrence
     (reference recursion_cases, bialignment.pyx:225-252; fill loop 443-471).
-    Slabs are [W, W, Ppad] — no state axis."""
+    Slabs are [W, W, SUB, LANES] — no state axis."""
     gamma, delta = params
     W = 2 * S + 1
     tab = NonAffineTables(gamma, delta)
@@ -214,80 +276,90 @@ def _make_nonaffine_update(S: int, params, Ppad: int):
         for ci, col in enumerate(NONAFFINE_COLS)
         if not (col[0] or col[1])
     ]
-    shape = (W, W, Ppad)
+    rows_by_t = _t_rows(W)
+    shape2 = (SUB, LANES)
+    shape4 = (W, W, SUB, LANES)
 
     def update(d, mu1_row, mu2_blk, vm1, vm2):
-        i_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-        sk_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        sl_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        origin_pos = (i_ar == 0) & (sk_ar == S) & (sl_ar == S)
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
+        i2 = sub_i * LANES + lane_i
+        j2 = d - i2
 
-        j_ar = d - i_ar
-        k_ar = i_ar + sk_ar - S
-        l_ar = j_ar + sl_ar - S
-        vm1_p = _shift_p(vm1, i_ar)
-        vm2_p = _shift_p(vm2, i_ar)
+        sk4 = jax.lax.broadcasted_iota(jnp.int32, shape4, 0)
+        sl4 = jax.lax.broadcasted_iota(jnp.int32, shape4, 1)
+        i4 = jnp.broadcast_to(i2, shape4)
+        j4 = d - i4
+        k4 = i4 + sk4 - S
+        l4 = j4 + sl4 - S
+
+        vm1_p = _shift_i(vm1, sub_i, lane_i)
+        vm2_p = _shift_i(vm2, sub_i, lane_i)
 
         best = None
         for (x0, x1, x2, x3), const, m1c, m2c in external:
             pred = (vm1_p if x0 == 1 else vm1) if x0 + x1 == 1 else (
                 vm2_p if x0 == 1 else vm2
             )
-            shifted = _shift_w(pred, x2 - x0, x3 - x1)
+            contrib = _shift_w(pred, x2 - x0, x3 - x1) + const
+            if m1c:
+                contrib = contrib + mu1_row
+            if m2c:
+                contrib = contrib + mu2_blk
             g = (
-                (i_ar >= x0) & (j_ar >= x1) & (k_ar >= x2) & (l_ar >= x3)
-                & (sk_ar - x2 + x0 >= 0) & (sk_ar - x2 + x0 < W)
-                & (sl_ar - x3 + x1 >= 0) & (sl_ar - x3 + x1 < W)
+                (i4 >= x0) & (j4 >= x1) & (k4 >= x2) & (l4 >= x3)
+                & (sk4 - x2 + x0 >= 0) & (sk4 - x2 + x0 < W)
+                & (sl4 - x3 + x1 >= 0) & (sl4 - x3 + x1 < W)
             )
-            contrib = shifted + const + m1c * mu1_row + m2c * mu2_blk
             c = jnp.where(g, contrib, INVALID)
             best = c if best is None else jnp.maximum(best, c)
 
         val = jnp.where(best == INVALID, NEG_INF, best)
-        is_d0 = (d == 0)
-        val = jnp.where(is_d0 & origin_pos, 0, val)
-        protect = is_d0 & origin_pos
+        is_d0 = d == 0
+        protect2 = is_d0 & (i2 == 0)
+        val = _set_row(val, S, S, jnp.where(protect2, 0, val[S, S]))
 
         # within-diagonal str-only cases; dependencies strictly decrease
-        # t = sk + sl
+        # t = sk + sl — only the rows of each t are touched
         for t in range(1, 4 * S + 1):
-            commit = (sk_ar + sl_ar == t) & ~protect
-            b2 = best
-            for (x0, x1, x2, x3), const, m2c in internal:
-                shifted = _shift_w(val, x2, x3)
-                g = (
-                    (k_ar >= x2) & (l_ar >= x3)
-                    & (sk_ar >= x2) & (sl_ar >= x3)
-                )
-                contrib = shifted + const + m2c * mu2_blk
-                b2 = jnp.maximum(b2, jnp.where(g, contrib, INVALID))
-            v2 = jnp.where(b2 == INVALID, NEG_INF, b2)
-            best = jnp.where(commit, b2, best)
-            val = jnp.where(commit, v2, val)
+            for sk, sl in rows_by_t[t]:
+                b2 = best[sk, sl]
+                for (_x0, _x1, x2, x3), const, m2c in internal:
+                    if sk < x2 or sl < x3:
+                        continue
+                    contrib = val[sk - x2, sl - x3] + const
+                    if m2c:
+                        contrib = contrib + mu2_blk[sk, sl]
+                    g = (i2 >= S - sk + x2) & (j2 >= S - sl + x3)
+                    b2 = jnp.maximum(b2, jnp.where(g, contrib, INVALID))
+                v2 = jnp.where(b2 == INVALID, NEG_INF, b2)
+                if (sk, sl) == (S, S):
+                    v2 = jnp.where(protect2, val[S, S], v2)
+                val = _set_row(val, sk, sl, v2)
         return val
 
     return update
 
 
-def _nonaffine_kernel(D: int, G: int, S: int, params, Ppad: int,
+def _nonaffine_kernel(D: int, G: int, S: int, params, SUB: int,
                       score_only: bool):
     """Single-pair non-affine kernel body (G diagonals per grid step)."""
     W = 2 * S + 1
-    update = _make_nonaffine_update(S, params, Ppad)
+    update = _make_nonaffine_update(S, params, SUB)
 
     def kernel(mu1_ref, mu2_ref, out_ref, vm1_ref, vm2_ref):
         g = pl.program_id(0)
 
         @pl.when(g == 0)
         def _():
-            vm1_ref[:] = jnp.full((W, W, Ppad), INVALID, jnp.int32)
-            vm2_ref[:] = jnp.full((W, W, Ppad), INVALID, jnp.int32)
+            vm1_ref[:] = jnp.full((W, W, SUB, LANES), INVALID, jnp.int32)
+            vm2_ref[:] = jnp.full((W, W, SUB, LANES), INVALID, jnp.int32)
 
         v1 = vm1_ref[:]
         v2 = vm2_ref[:]
         for u in range(G):
             d = g * G + u
-            val = update(d, mu1_ref[u, 0], mu2_ref[u], v1, v2)
+            val = update(d, mu1_ref[u], mu2_ref[u], v1, v2)
             if score_only:
                 @pl.when(d == D - 1)
                 def _(val=val):
@@ -309,6 +381,7 @@ def _nonaffine_pallas(mu1d, mu2d, n, m, max_shift, params, score_only,
     W = 2 * S + 1
     D = n + m + 1
     Ppad = mu1d.shape[1]
+    SUB = Ppad // LANES
     # non-affine slabs have no state axis: out block is Q x smaller
     slab_bytes = W * W * Ppad * 4
     out_bytes = 4 if score_only else slab_bytes
@@ -319,28 +392,32 @@ def _nonaffine_pallas(mu1d, mu2d, n, m, max_shift, params, score_only,
     Dg = -(-D // G)
     D_pad = Dg * G
 
-    mu1d = mu1d.reshape(mu1d.shape[0], 1, Ppad)
+    mu1t = mu1d.reshape(mu1d.shape[0], SUB, LANES)
+    mu2t = mu2d.reshape(mu2d.shape[0], W, W, SUB, LANES)
     if D_pad > D:
-        mu1d = jnp.pad(mu1d, ((0, D_pad - D), (0, 0), (0, 0)))
-        mu2d = jnp.pad(mu2d, ((0, D_pad - D), (0, 0), (0, 0), (0, 0)))
-    kernel = _nonaffine_kernel(D, G, S, params, Ppad, score_only)
+        mu1t = jnp.pad(mu1t, ((0, D_pad - D), (0, 0), (0, 0)))
+        mu2t = jnp.pad(mu2t, ((0, D_pad - D),) + ((0, 0),) * 4)
+    kernel = _nonaffine_kernel(D, G, S, params, SUB, score_only)
     if score_only:
-        out_shape = jax.ShapeDtypeStruct((1, W, W, Ppad), jnp.int32)
-        out_specs = pl.BlockSpec((1, W, W, Ppad), lambda g: (0, 0, 0, 0),
+        out_shape = jax.ShapeDtypeStruct((1, W, W, SUB, LANES), jnp.int32)
+        out_specs = pl.BlockSpec((1, W, W, SUB, LANES),
+                                 lambda g: (0, 0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
-        out_shape = jax.ShapeDtypeStruct((D_pad, W, W, Ppad), jnp.int32)
-        out_specs = pl.BlockSpec((G, W, W, Ppad), lambda g: (g, 0, 0, 0),
+        out_shape = jax.ShapeDtypeStruct((D_pad, W, W, SUB, LANES),
+                                         jnp.int32)
+        out_specs = pl.BlockSpec((G, W, W, SUB, LANES),
+                                 lambda g: (g, 0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
 
-    slab = pltpu.VMEM((W, W, Ppad), jnp.int32)
-    return pl.pallas_call(
+    slab = pltpu.VMEM((W, W, SUB, LANES), jnp.int32)
+    ys = pl.pallas_call(
         kernel,
         grid=(Dg,),
         in_specs=[
-            pl.BlockSpec((G, 1, Ppad), lambda g: (g, 0, 0),
+            pl.BlockSpec((G, SUB, LANES), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, W, W, Ppad), lambda g: (g, 0, 0, 0),
+            pl.BlockSpec((G, W, W, SUB, LANES), lambda g: (g, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -350,7 +427,8 @@ def _nonaffine_pallas(mu1d, mu2d, n, m, max_shift, params, score_only,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(mu1d, mu2d)
+    )(mu1t, mu2t)
+    return ys.reshape(ys.shape[0], W, W, SUB * LANES)
 
 
 def fill_nonaffine_device(mu1, mu2, max_shift, gamma, delta, *,
@@ -385,33 +463,32 @@ def nonaffine_score(mu1, mu2, max_shift, gamma, delta, *, interpret=None):
     return int(jax.device_get(last[0, S, S, n]))
 
 
-def _affine_kernel(D: int, G: int, S: int, params, Ppad: int,
+def _affine_kernel(D: int, G: int, S: int, params, SUB: int,
                    score_only: bool):
     """Single-pair kernel body: each grid step advances G diagonals.
 
-    Chunking amortizes the per-step grid/pipelining overhead (the slab
-    math itself is far from VMEM- or VPU-bound at these sizes); the carry
+    Chunking amortizes the per-step grid/pipelining overhead; the carry
     rides SSA values within a chunk and round-trips the VMEM scratch
     slabs only at chunk boundaries.  Diagonals past D-1 (the padded tail
     of the last chunk) compute garbage that is provably never read.
     """
     Q = N_STATES
     W = 2 * S + 1
-    update = _make_update(S, params, Ppad)
+    update = _make_update(S, params, SUB)
 
     def kernel(mu1_ref, mu2_ref, out_ref, vm1_ref, vm2_ref):
         g = pl.program_id(0)
 
         @pl.when(g == 0)
         def _():
-            vm1_ref[:] = jnp.full((Q, W, W, Ppad), INVALID, jnp.int32)
-            vm2_ref[:] = jnp.full((Q, W, W, Ppad), INVALID, jnp.int32)
+            vm1_ref[:] = jnp.full((Q, W, W, SUB, LANES), INVALID, jnp.int32)
+            vm2_ref[:] = jnp.full((Q, W, W, SUB, LANES), INVALID, jnp.int32)
 
         v1 = vm1_ref[:]
         v2 = vm2_ref[:]
         for u in range(G):
             d = g * G + u
-            val = update(d, mu1_ref[u, 0], mu2_ref[u], v1, v2)
+            val = update(d, mu1_ref[u], mu2_ref[u], v1, v2)
             if score_only:
                 @pl.when(d == D - 1)
                 def _(val=val):
@@ -450,34 +527,38 @@ def _affine_pallas(mu1d, mu2d, n, m, max_shift, params, score_only,
     Q = N_STATES
     D = n + m + 1
     Ppad = mu1d.shape[1]
+    SUB = Ppad // LANES
     G = _pick_chunk(D, S, Ppad, score_only, interpret)
     Dg = -(-D // G)
     D_pad = Dg * G
 
-    mu1d = mu1d.reshape(mu1d.shape[0], 1, Ppad)
+    mu1t = mu1d.reshape(mu1d.shape[0], SUB, LANES)
+    mu2t = mu2d.reshape(mu2d.shape[0], W, W, SUB, LANES)
     if D_pad > D:
-        mu1d = jnp.pad(mu1d, ((0, D_pad - D), (0, 0), (0, 0)))
-        mu2d = jnp.pad(mu2d, ((0, D_pad - D), (0, 0), (0, 0), (0, 0)))
-    kernel = _affine_kernel(D, G, S, params, Ppad, score_only)
+        mu1t = jnp.pad(mu1t, ((0, D_pad - D), (0, 0), (0, 0)))
+        mu2t = jnp.pad(mu2t, ((0, D_pad - D),) + ((0, 0),) * 4)
+    kernel = _affine_kernel(D, G, S, params, SUB, score_only)
     if score_only:
-        out_shape = jax.ShapeDtypeStruct((1, Q, W, W, Ppad), jnp.int32)
-        out_specs = pl.BlockSpec((1, Q, W, W, Ppad),
-                                 lambda g: (0, 0, 0, 0, 0),
+        out_shape = jax.ShapeDtypeStruct((1, Q, W, W, SUB, LANES),
+                                         jnp.int32)
+        out_specs = pl.BlockSpec((1, Q, W, W, SUB, LANES),
+                                 lambda g: (0, 0, 0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
-        out_shape = jax.ShapeDtypeStruct((D_pad, Q, W, W, Ppad), jnp.int32)
-        out_specs = pl.BlockSpec((G, Q, W, W, Ppad),
-                                 lambda g: (g, 0, 0, 0, 0),
+        out_shape = jax.ShapeDtypeStruct((D_pad, Q, W, W, SUB, LANES),
+                                         jnp.int32)
+        out_specs = pl.BlockSpec((G, Q, W, W, SUB, LANES),
+                                 lambda g: (g, 0, 0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
 
-    slab = pltpu.VMEM((Q, W, W, Ppad), jnp.int32)
-    return pl.pallas_call(
+    slab = pltpu.VMEM((Q, W, W, SUB, LANES), jnp.int32)
+    ys = pl.pallas_call(
         kernel,
         grid=(Dg,),
         in_specs=[
-            pl.BlockSpec((G, 1, Ppad), lambda g: (g, 0, 0),
+            pl.BlockSpec((G, SUB, LANES), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, W, W, Ppad), lambda g: (g, 0, 0, 0),
+            pl.BlockSpec((G, W, W, SUB, LANES), lambda g: (g, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -487,7 +568,8 @@ def _affine_pallas(mu1d, mu2d, n, m, max_shift, params, score_only,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(mu1d, mu2d)
+    )(mu1t, mu2t)
+    return ys.reshape(ys.shape[0], Q, W, W, SUB * LANES)
 
 
 def _diag_mu_tables_plast(mu1: np.ndarray, mu2: np.ndarray, S: int):
@@ -525,7 +607,7 @@ def _slab_score(last, S, n):
     return jnp.max(last[0, :, S, S, n])
 
 
-def _affine_batched_kernel(S: int, params, Ppad: int):
+def _affine_batched_kernel(S: int, params, SUB: int):
     """Batched score-only kernel: grid (B, D), per-pair true lengths in
     SMEM via scalar prefetch; the slab update is identical to the
     single-pair kernel (it never references n/m — garbage lattice
@@ -534,8 +616,7 @@ def _affine_batched_kernel(S: int, params, Ppad: int):
     """
     W = 2 * S + 1
     Q = N_STATES
-    update = _make_update(S, params, Ppad)
-    shape = (W, W, Ppad)
+    update = _make_update(S, params, SUB)
 
     def kernel(ns_ref, ms_ref, mu1_ref, mu2_ref, out_ref, vm1_ref,
                vm2_ref):
@@ -544,11 +625,11 @@ def _affine_batched_kernel(S: int, params, Ppad: int):
 
         @pl.when(d == 0)
         def _():
-            vm1_ref[:] = jnp.full((Q, W, W, Ppad), INVALID, jnp.int32)
-            vm2_ref[:] = jnp.full((Q, W, W, Ppad), INVALID, jnp.int32)
+            vm1_ref[:] = jnp.full((Q, W, W, SUB, LANES), INVALID, jnp.int32)
+            vm2_ref[:] = jnp.full((Q, W, W, SUB, LANES), INVALID, jnp.int32)
             out_ref[0] = jnp.full((LANES,), NEG_INF, jnp.int32)
 
-        val = update(d, mu1_ref[0, 0], mu2_ref[0], vm1_ref[:], vm2_ref[:])
+        val = update(d, mu1_ref[0], mu2_ref[0], vm1_ref[:], vm2_ref[:])
         vm2_ref[:] = vm1_ref[:]
         vm1_ref[:] = val
 
@@ -557,11 +638,10 @@ def _affine_batched_kernel(S: int, params, Ppad: int):
 
         @pl.when(d == n + m)
         def _():
-            i_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-            sk_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-            sl_ar = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-            hit = (i_ar == n) & (sk_ar == S) & (sl_ar == S)
-            score = jnp.max(jnp.where(hit[None], val, INVALID))
+            sub_i = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+            hit = (sub_i * LANES + lane_i) == n
+            score = jnp.max(jnp.where(hit[None], val[:, S, S], INVALID))
             out_ref[0] = jnp.full((LANES,), score, jnp.int32)
 
     return kernel
@@ -571,7 +651,7 @@ def _affine_batched_kernel(S: int, params, Ppad: int):
 def _affine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params):
     """Scores for a same-bucket batch.
 
-    mu1d: [B, D, 1, Ppad]; mu2d: [B, D, W, W, Ppad]; ns/ms: [B] int32.
+    mu1d: [B, D, Ppad]; mu2d: [B, D, W, W, Ppad]; ns/ms: [B] int32.
     Returns [B] int32 scores.
     """
     S = max_shift
@@ -579,21 +659,22 @@ def _affine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params):
     Q = N_STATES
     B, D = mu1d.shape[0], mu1d.shape[1]
     Ppad = mu1d.shape[-1]
+    SUB = Ppad // LANES
     # fold (B, D) so per-step blocks have the single-pair shapes
-    mu1f = mu1d.reshape(B * D, 1, Ppad)
-    mu2f = mu2d.reshape(B * D, W, W, Ppad)
+    mu1f = mu1d.reshape(B * D, SUB, LANES)
+    mu2f = mu2d.reshape(B * D, W, W, SUB, LANES)
 
-    kernel = _affine_batched_kernel(S, params, Ppad)
-    slab = pltpu.VMEM((Q, W, W, Ppad), jnp.int32)
+    kernel = _affine_batched_kernel(S, params, SUB)
+    slab = pltpu.VMEM((Q, W, W, SUB, LANES), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, D),
         in_specs=[
-            pl.BlockSpec((1, 1, Ppad),
+            pl.BlockSpec((1, SUB, LANES),
                          lambda b, d, ns, ms: (b * D + d, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, W, Ppad),
-                         lambda b, d, ns, ms: (b * D + d, 0, 0, 0),
+            pl.BlockSpec((1, W, W, SUB, LANES),
+                         lambda b, d, ns, ms: (b * D + d, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, LANES), lambda b, d, ns, ms: (b, 0),
