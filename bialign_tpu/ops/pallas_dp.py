@@ -627,7 +627,7 @@ def _affine_batched_kernel(S: int, params, SUB: int):
         def _():
             vm1_ref[:] = jnp.full((Q, W, W, SUB, LANES), INVALID, jnp.int32)
             vm2_ref[:] = jnp.full((Q, W, W, SUB, LANES), INVALID, jnp.int32)
-            out_ref[0] = jnp.full((LANES,), NEG_INF, jnp.int32)
+            out_ref[0] = jnp.full((8, LANES), NEG_INF, jnp.int32)
 
         val = update(d, mu1_ref[0], mu2_ref[0], vm1_ref[:], vm2_ref[:])
         vm2_ref[:] = vm1_ref[:]
@@ -642,7 +642,7 @@ def _affine_batched_kernel(S: int, params, SUB: int):
             lane_i = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
             hit = (sub_i * LANES + lane_i) == n
             score = jnp.max(jnp.where(hit[None], val[:, S, S], INVALID))
-            out_ref[0] = jnp.full((LANES,), score, jnp.int32)
+            out_ref[0] = jnp.full((8, LANES), score, jnp.int32)
 
     return kernel
 
@@ -677,20 +677,20 @@ def _affine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params):
                          lambda b, d, ns, ms: (b * D + d, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, LANES), lambda b, d, ns, ms: (b, 0),
+        out_specs=pl.BlockSpec((1, 8, LANES), lambda b, d, ns, ms: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[slab, slab],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, 8, LANES), jnp.int32),
         interpret=not _on_tpu(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(ns, ms, mu1f, mu2f)
-    return out[:, 0]
+    return out[:, 0, 0]
 
 
 def _on_tpu() -> bool:
