@@ -27,9 +27,16 @@ can switch with an import change.
 
 from .version import __version__
 from .aligner import BiAligner
+from .config import AlignConfig
 from .models.triplet import BiAlignerTriplet
-from .io.simmatrix import blosum62, read_simmatrix
+from .io.simmatrix import blosum62, materialize_matrix, read_simmatrix
 from .io.cfssp import read_molecule, read_molecule_from_file
+from .io.structure_files import (
+    read_dssp,
+    read_dssp_file,
+    read_stride,
+    read_stride_file,
+)
 from .scoring.structure import (
     consensus_sbpp,
     consensus_sequence,
@@ -43,12 +50,18 @@ from .render.plot import breaklines, fourway_from_full, plot_alignment, runs
 
 __all__ = [
     "__version__",
+    "AlignConfig",
     "BiAligner",
     "BiAlignerTriplet",
     "blosum62",
+    "materialize_matrix",
     "read_simmatrix",
     "read_molecule",
     "read_molecule_from_file",
+    "read_dssp",
+    "read_dssp_file",
+    "read_stride",
+    "read_stride_file",
     "mea",
     "parse_dotbracket",
     "consensus_sequence",

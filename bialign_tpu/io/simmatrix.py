@@ -51,6 +51,26 @@ X  0 -1 -1 -1 -2 -1 -1 -1 -1 -1 -1 -1 -1 -1 -2  0  0 -2 -1 -1 -1 -1 -1 -4
 blosum62 = BLOSUM62_TEXT
 
 
+def materialize_matrix(name: str = "BLOSUM62", directory: str | None = None) -> str:
+    """Write a bundled similarity matrix to disk and return its path.
+
+    The reference ships ``Data/BLOSUM62.txt`` (identical to its embedded
+    constant, SURVEY.md §2 #24); we keep the single embedded source of
+    truth and materialize the file on demand for workflows that want a
+    ``--simmatrix <path>`` file (written to ``directory`` or a temp dir).
+    """
+    import os
+    import tempfile
+
+    if name != "BLOSUM62":
+        raise ValueError(f"unknown bundled matrix {name!r}")
+    directory = directory or tempfile.gettempdir()
+    path = os.path.join(directory, f"{name}.txt")
+    with open(path, "w") as fh:
+        fh.write(BLOSUM62_TEXT)
+    return path
+
+
 def read_simmatrix(filename: str, scale: int = 100) -> dict:
     """Parse a BLOSUM-style similarity matrix into a dict-of-dict of ints.
 
