@@ -56,6 +56,9 @@ PARAM_DEFAULTS = {
     "simmatrix": None,
     "nameA": "A",
     "nameB": "B",
+    # bialign-tpu extensions: linear-memory (rematerializing) band mode
+    "lowmem": False,
+    "checkpoint_block": None,
 }
 
 
@@ -167,7 +170,23 @@ class BiAligner:
         elif engine in ("xla", "pallas"):
             from .ops import xla_dp
 
-            if engine == "pallas":
+            if self._params.get("lowmem"):
+                # O(sqrt(D))-memory mode: store only scan-carry checkpoints,
+                # rematerialize band blocks during traceback (bit-exact).
+                from .ops import checkpoint_dp
+
+                block = self._params.get("checkpoint_block")
+                if self._affine:
+                    self._H = checkpoint_dp.fill_affine_checkpoint(
+                        self.mu1, self.mu2, self.max_shift, self.beta,
+                        self.gamma, self.delta, block=block,
+                    )
+                else:
+                    self._H = checkpoint_dp.fill_nonaffine_checkpoint(
+                        self.mu1, self.mu2, self.max_shift, self.gamma,
+                        self.delta, block=block,
+                    )
+            elif engine == "pallas":
                 from .ops import pallas_dp
 
                 if self._affine:
@@ -198,8 +217,9 @@ class BiAligner:
         """Fill the DP band; return the optimal score (pyx:443-509)."""
         n, m = self._fill()
         from .ops.band import DeviceBand
+        from .ops.checkpoint_dp import CheckpointBand
 
-        if isinstance(self._H, DeviceBand):
+        if isinstance(self._H, (DeviceBand, CheckpointBand)):
             return self._H.final_score()
         if self._affine:
             return reference_dp.affine_score_from_band(
@@ -216,7 +236,25 @@ class BiAligner:
         if self._H is None:
             self.optimize()
         from .ops.band import DeviceBand
+        from .ops.checkpoint_dp import CheckpointBand
 
+        if isinstance(self._H, CheckpointBand):
+            from .ops import checkpoint_dp
+
+            if self._affine:
+                trace, complete = checkpoint_dp.affine_traceback(
+                    self._H, self.beta, self.gamma, self.delta,
+                    self.mu1, self.mu2,
+                )
+                if not complete:
+                    print(
+                        "WARNING: incomplete traceback. "
+                        "Alignment could be garbage."
+                    )
+                return trace
+            return checkpoint_dp.nonaffine_traceback(
+                self._H, self.gamma, self.delta, self.mu1, self.mu2
+            )
         if isinstance(self._H, DeviceBand):
             from .ops import device_traceback as dtb
 
@@ -314,8 +352,9 @@ class BiAligner:
     def _band_cells(self, idxs: np.ndarray) -> np.ndarray:
         """Values of non-affine band cells (i, j, k, l), any band type."""
         from .ops.band import DeviceBand
+        from .ops.checkpoint_dp import CheckpointBand
 
-        if isinstance(self._H, DeviceBand):
+        if isinstance(self._H, (DeviceBand, CheckpointBand)):
             return self._H.cells(idxs)
         S = self.max_shift
         i, j, k, l = idxs[:, 0], idxs[:, 1], idxs[:, 2], idxs[:, 3]

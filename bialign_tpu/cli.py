@@ -96,6 +96,12 @@ def add_bialign_parameters(parser):
         choices=["auto", "numpy", "native", "xla", "pallas"],
         help="DP engine (bialign-tpu extension; default auto)",
     )
+    parser.add_argument(
+        "--lowmem", action="store_true",
+        help="Linear-memory band mode: store only scan checkpoints and "
+        "rematerialize band blocks during traceback (bialign-tpu "
+        "extension; bit-exact, ~10x less device memory)",
+    )
 
 
 def main(argv=None):

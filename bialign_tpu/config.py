@@ -30,8 +30,10 @@ class AlignConfig:
     nameB: str = "B"
     outmode: str = "default"
     nodescription: bool = False
-    # bialign-tpu extension: DP engine selection
+    # bialign-tpu extensions: DP engine selection; linear-memory band mode
     engine: str = "auto"
+    lowmem: bool = False
+    checkpoint_block: int | None = None
 
     def __post_init__(self):
         if self.type not in ("RNA", "Protein"):
