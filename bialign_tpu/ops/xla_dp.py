@@ -118,12 +118,14 @@ def _range_guard(idx, lo: int, hi_excl: int):
     return (idx >= lo) & (idx < hi_excl)
 
 
-def _build_affine_step(P, max_shift, params, score_only):
+def _build_affine_step(P, max_shift, params, score_only, i_base=0):
     """Build the per-diagonal step function (shared by the single-pair scan
     and the batched traced-length score scan).
 
     params = (beta, gamma, delta); all shape arguments static so the case
-    constants fold into the compiled program.
+    constants fold into the compiled program.  ``i_base`` offsets the
+    lattice-row indices (may be a traced scalar) — the sequence-split
+    multi-chip path gives each shard its global row range this way.
     """
     beta, gamma, delta = params
     S = max_shift
@@ -135,7 +137,8 @@ def _build_affine_step(P, max_shift, params, score_only):
     b_const = jnp.asarray(tabs.b_const)        # [Q, 3]
     c_const = jnp.asarray(tabs.c_const)        # [Q, 3]
 
-    i_ar = jnp.arange(P, dtype=jnp.int32)[:, None, None]          # [P,1,1]
+    i_ar = (jnp.asarray(i_base, jnp.int32)
+            + jnp.arange(P, dtype=jnp.int32))[:, None, None]      # [P,1,1]
     sk_ar = jnp.arange(W, dtype=jnp.int32)[None, :, None]         # [1,W,1]
     sl_ar = jnp.arange(W, dtype=jnp.int32)[None, None, :]         # [1,1,W]
 
@@ -300,8 +303,12 @@ def fill_affine(mu1, mu2, max_shift, beta, gamma, delta, *, pallas=False,
     return _diag_to_band(np.asarray(ys), n, m, S, affine=True)
 
 
-def _build_nonaffine_step(P, max_shift, params, score_only):
-    """Per-diagonal step for the 13-case non-affine recurrence."""
+def _build_nonaffine_step(P, max_shift, params, score_only, i_base=0):
+    """Per-diagonal step for the 13-case non-affine recurrence.
+
+    ``i_base`` offsets the lattice-row indices (may be traced), see
+    :func:`_build_affine_step`.
+    """
     gamma, delta = params
     S = max_shift
     W = 2 * S + 1
@@ -318,7 +325,8 @@ def _build_nonaffine_step(P, max_shift, params, score_only):
         if not (col[0] or col[1])
     ]
 
-    i_ar = jnp.arange(P, dtype=jnp.int32)[:, None, None]
+    i_ar = (jnp.asarray(i_base, jnp.int32)
+            + jnp.arange(P, dtype=jnp.int32))[:, None, None]
     sk_ar = jnp.arange(W, dtype=jnp.int32)[None, :, None]
     sl_ar = jnp.arange(W, dtype=jnp.int32)[None, None, :]
     origin_pos = (i_ar == 0) & (sk_ar == S) & (sl_ar == S)

@@ -1,0 +1,151 @@
+"""Sequence-split (context-parallel) scoring of ONE pair across chips.
+
+The reference is single-threaded (SURVEY.md §2.4); batch data parallelism
+(:mod:`bialign_tpu.parallel.batch`) covers corpora of pairs.  This module
+covers the orthogonal axis: when a *single* pair is so long that one
+chip's fill is the bottleneck (or its carry slabs outgrow VMEM/HBM), the
+anti-diagonal wavefront itself is sharded over the mesh — the TPU analog
+of context/sequence parallelism.
+
+Design (scaling-book recipe — mesh, shardings, XLA collectives over ICI):
+
+* the per-diagonal slab ``V[(Q,) P, W, W]`` is split along the lattice-row
+  axis ``P = n+1`` into contiguous chunks, one per device of the ``sp``
+  mesh axis (``shard_map``);
+* the recurrence's only cross-row dependency is row ``i-1`` (columns with
+  a seqA advance, cases pyx:255-296), so each scan step exchanges a ONE-ROW
+  halo ``[Q, 1, W, W]`` with the right neighbor via ``lax.ppermute`` —
+  a nearest-neighbor ICI transfer of ~Q*W*W ints (~324 B at max_shift 1)
+  per carried slab per diagonal, fully overlappable with the chunk math;
+* each shard evaluates the shared step function
+  (:func:`bialign_tpu.ops.xla_dp._build_affine_step`) on its halo-extended
+  chunk with the correct *global* row offsets (``i_base``), so every cell
+  is computed bit-exactly as in the single-device scan;
+* the final score lives on the shard owning global row ``n``; a
+  ``lax.pmax`` broadcasts it (replicated output).
+
+Weak-scaling: per-diagonal work per chip drops from O(n * W^2 * Q * cases)
+to O(n/K ...); the halo is O(1).  The scan remains serial over the n+m+1
+diagonals — inherent to the DP's data dependence.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+from ..ops.cases import NEG_INF, N_STATES
+from ..ops.xla_dp import (
+    INVALID,
+    _build_affine_step,
+    _build_nonaffine_step,
+    _diag_mu_tables,
+)
+
+
+def _pad_rows(mu1d: np.ndarray, mu2d: np.ndarray, K: int):
+    """Pad the lattice-row axis to a multiple of K (padded rows carry mu 0
+    and global indices > n, so they never influence genuine cells: row
+    information only flows toward HIGHER rows)."""
+    P = mu1d.shape[1]
+    Ppad = -(-P // K) * K
+    mu1d = np.pad(mu1d, ((0, 0), (0, Ppad - P)))
+    mu2d = np.pad(mu2d, ((0, 0), (0, Ppad - P)) + ((0, 0),) * 2)
+    return mu1d, mu2d
+
+
+def _sharded_scan(mesh: Mesh, axis: str, n: int, m: int, S: int, params,
+                  affine: bool):
+    """Build the shard_map-ed scoring function over the given mesh axis."""
+    K = mesh.shape[axis]
+    W = 2 * S + 1
+    Q = N_STATES
+    build = _build_affine_step if affine else _build_nonaffine_step
+    perm = [(k, k + 1) for k in range(K - 1)]
+
+    def body(mu1_loc, mu2_loc):
+        # mu1_loc: [D, Pk]; mu2_loc: [D, Pk, W, W]
+        D, Pk = mu1_loc.shape
+        idx = lax.axis_index(axis)
+        # ext slab rows are global [idx*Pk - 1, (idx+1)*Pk)
+        step, _ = build(Pk + 1, S, params, True, i_base=idx * Pk - 1)
+
+        shape = (Q, Pk, W, W) if affine else (Pk, W, W)
+        # mark the carry as varying over the mesh axis (shard_map vma typing)
+        invalid = lax.pcast(jnp.full(shape, INVALID, jnp.int32), (axis,),
+                            to="varying")
+        row_ax = 1 if affine else 0
+
+        def halo_ext(v):
+            last = lax.slice_in_dim(v, Pk - 1, Pk, axis=row_ax)
+            halo = lax.ppermute(last, axis, perm)  # non-participants: zeros
+            halo = jnp.where(idx == 0, INVALID, halo)
+            return jnp.concatenate([halo, v], axis=row_ax)
+
+        def sstep(carry, xs):
+            vm1, vm2 = carry
+            d, mu1_row, mu2_blk = xs
+            mu1e = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), mu1_row]
+            )
+            mu2e = jnp.concatenate(
+                [jnp.zeros((1, W, W), jnp.int32), mu2_blk]
+            )
+            (vale, _), _ = step(
+                (halo_ext(vm1), halo_ext(vm2)), (d, mu1e, mu2e)
+            )
+            val = lax.slice_in_dim(vale, 1, Pk + 1, axis=row_ax)
+            return (val, vm1), None
+
+        xs = (jnp.arange(n + m + 1, dtype=jnp.int32), mu1_loc, mu2_loc)
+        (last, _), _ = lax.scan(sstep, (invalid, invalid), xs)
+
+        row = n - idx * Pk
+        owned = (row >= 0) & (row < Pk)
+        rc = jnp.clip(row, 0, Pk - 1)
+        mid = last[:, rc, S, S] if affine else last[rc, S, S]
+        cand = jnp.where(owned, jnp.max(mid), NEG_INF)
+        return lax.pmax(cand, axis)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(PS(None, axis), PS(None, axis, None, None)),
+        out_specs=PS(),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7),
+                   static_argnames=("mesh", "axis"))
+def _score_jit(mu1d, mu2d, n, m, S, params, affine, K, *, mesh, axis):
+    return _sharded_scan(mesh, axis, n, m, S, params, affine)(mu1d, mu2d)
+
+
+def score_seqsplit(mu1, mu2, max_shift: int, params: tuple, *, mesh: Mesh,
+                   axis: str = "sp", affine: bool = True) -> int:
+    """Optimal score of one pair, wavefront sharded over ``mesh[axis]``.
+
+    ``params``: (beta, gamma, delta) for affine, (gamma, delta) otherwise.
+    Bit-exact with the single-device engines (tests/test_seqsplit.py).
+    """
+    n = mu1.shape[0] - 1
+    m = mu1.shape[1] - 1
+    S = max_shift
+    K = mesh.shape[axis]
+    mu1d, mu2d = _diag_mu_tables(np.asarray(mu1), np.asarray(mu2), S)
+    mu1d, mu2d = _pad_rows(np.asarray(mu1d), np.asarray(mu2d), K)
+
+    row_sharding = NamedSharding(mesh, PS(None, axis))
+    mu1d = jax.device_put(mu1d, row_sharding)
+    mu2d = jax.device_put(
+        jnp.asarray(mu2d), NamedSharding(mesh, PS(None, axis, None, None))
+    )
+    score = _score_jit(mu1d, mu2d, n, m, S, tuple(params), affine, K,
+                       mesh=mesh, axis=axis)
+    return int(jax.device_get(score))
