@@ -103,28 +103,6 @@ def _shift_i(x, sub_i, lane_i):
     return jnp.where((lane_i == 0) & (sub_i == 0), INVALID, y)
 
 
-def _set_row(x, sk: int, sl: int, row):
-    """x.at[sk, sl].set(row) for static (sk, sl) leading indices of a
-    [W, W, SUB, LANES] slab, rebuilt with stacks — Pallas TPU has no
-    scatter, and leading-dim restacking is pure vreg re-selection."""
-    W0, W1 = x.shape[0], x.shape[1]
-    outer = []
-    for u in range(W0):
-        if u == sk:
-            outer.append(jnp.stack(
-                [row if v == sl else x[u, v] for v in range(W1)]
-            ))
-        else:
-            outer.append(x[u])
-    return jnp.stack(outer)
-
-
-def _t_rows(W: int):
-    """(sk, sl) rows grouped by shift anti-diagonal t = sk + sl."""
-    return [
-        [(sk, sl) for sk in range(W) for sl in range(W) if sk + sl == t]
-        for t in range(2 * (W - 1) + 1)
-    ]
 
 
 def _make_update(S: int, params, SUB: int):
@@ -147,7 +125,6 @@ def _make_update(S: int, params, SUB: int):
     mu2_coef = tabs.mu2_coef.tolist()
     b_mu2 = tabs.b_mu2_coef.tolist()
     c_mu1 = tabs.c_mu1_coef.tolist()
-    rows_by_t = _t_rows(W)
 
     shape2 = (SUB, LANES)
     shape4 = (W, W, SUB, LANES)
@@ -218,40 +195,43 @@ def _make_update(S: int, params, SUB: int):
 
         # origin initialization (pyx:483-485), diagonal 0 only
         is_d0 = d == 0
-        protect2 = is_d0 & (i2 == 0)
+        center = (sk4 == S) & (sl4 == S)       # folds: iota comparison
+        protect4 = (is_d0 & (i4 == 0)) & center
         for q in range(Q):
             init_q = 0 if q == STATE_BOTH_MATCH else NEG_INF
-            row = jnp.where(protect2, init_q, val[q][S, S])
-            val[q] = _set_row(val[q], S, S, row)
+            val[q] = jnp.where(protect4, init_q, val[q])
 
         # group B sweep: str-only half columns move within this diagonal;
-        # dependencies strictly decrease t = sk + sl, so only the (sk, sl)
-        # rows of each t are touched (their sources, at t - (c+dd) < t,
-        # are already final).  ``best`` never needs updating: each row is
-        # committed exactly once and reads its own pre-B best.
+        # dependencies strictly decrease t = sk + sl, so each step commits
+        # the whole slab masked to the rows of its own t (their sources, at
+        # t - (c+dd) < t, are already final).  The shift offset (c, dd)
+        # depends only on the TARGET state, so one _shift_w reads all
+        # source rows at once; shift-fill rows (sk < c or sl < dd) are the
+        # reference's dead cases and are re-masked to INVALID *after* the
+        # mu2 add so the fill constant never leaks.  ``best`` never needs
+        # updating: each row is committed exactly once and reads its own
+        # pre-B best.
         for t in range(1, 4 * S + 1):
-            for sk, sl in rows_by_t[t]:
-                for q in range(Q):
-                    _a, _b, c, dd = STATES[q]
-                    if sk < c or sl < dd:
-                        continue  # source row outside the slab: case dead
-                    aggB = val[b_src[q][0]][sk - c, sl - dd] + b_const[q][0]
-                    for h in (1, 2):
-                        aggB = jnp.maximum(
-                            aggB,
-                            val[b_src[q][h]][sk - c, sl - dd]
-                            + b_const[q][h],
-                        )
-                    if b_mu2[q]:
-                        aggB = aggB + mu2_blk[sk, sl]
-                    # (k >= c) & (l >= dd) at this row
-                    gB = (i2 >= S - sk + c) & (j2 >= S - sl + dd)
-                    cB = jnp.where(gB, aggB, INVALID)
-                    bq = jnp.maximum(best[q][sk, sl], cB)
-                    vq = jnp.where(bq == INVALID, NEG_INF, bq)
-                    if (sk, sl) == (S, S):
-                        vq = jnp.where(protect2, val[q][S, S], vq)
-                    val[q] = _set_row(val[q], sk, sl, vq)
+            tmask = (sk4 + sl4) == t
+            for q in range(Q):
+                _a, _b, c, dd = STATES[q]
+                aggB = val[b_src[q][0]] + b_const[q][0]
+                for h in (1, 2):
+                    aggB = jnp.maximum(
+                        aggB, val[b_src[q][h]] + b_const[q][h]
+                    )
+                aggB = _shift_w(aggB, c, dd)
+                if b_mu2[q]:
+                    aggB = aggB + mu2_blk
+                live = (
+                    (k4 >= c) & (l4 >= dd)
+                    & (sk4 >= c) & (sl4 >= dd)
+                )
+                cB = jnp.where(live, aggB, INVALID)
+                bq = jnp.maximum(best[q], cB)
+                vq = jnp.where(bq == INVALID, NEG_INF, bq)
+                vq = jnp.where(protect4, val[q], vq)
+                val[q] = jnp.where(tmask, vq, val[q])
 
         return jnp.stack(val)
 
@@ -276,7 +256,6 @@ def _make_nonaffine_update(S: int, params, SUB: int):
         for ci, col in enumerate(NONAFFINE_COLS)
         if not (col[0] or col[1])
     ]
-    rows_by_t = _t_rows(W)
     shape2 = (SUB, LANES)
     shape4 = (W, W, SUB, LANES)
 
@@ -316,26 +295,31 @@ def _make_nonaffine_update(S: int, params, SUB: int):
 
         val = jnp.where(best == INVALID, NEG_INF, best)
         is_d0 = d == 0
-        protect2 = is_d0 & (i2 == 0)
-        val = _set_row(val, S, S, jnp.where(protect2, 0, val[S, S]))
+        center = (sk4 == S) & (sl4 == S)
+        protect4 = (is_d0 & (i4 == 0)) & center
+        val = jnp.where(protect4, 0, val)
 
         # within-diagonal str-only cases; dependencies strictly decrease
-        # t = sk + sl — only the rows of each t are touched
+        # t = sk + sl — each step commits the whole slab masked to the
+        # rows of its own t (sources at t - (x2+x3) < t are final).  The
+        # per-case shift reads all source rows at once; shift-fill rows
+        # (sk < x2 or sl < x3) are dead cases, re-masked to INVALID after
+        # the mu2 add so the fill constant never leaks.
         for t in range(1, 4 * S + 1):
-            for sk, sl in rows_by_t[t]:
-                b2 = best[sk, sl]
-                for (_x0, _x1, x2, x3), const, m2c in internal:
-                    if sk < x2 or sl < x3:
-                        continue
-                    contrib = val[sk - x2, sl - x3] + const
-                    if m2c:
-                        contrib = contrib + mu2_blk[sk, sl]
-                    g = (i2 >= S - sk + x2) & (j2 >= S - sl + x3)
-                    b2 = jnp.maximum(b2, jnp.where(g, contrib, INVALID))
-                v2 = jnp.where(b2 == INVALID, NEG_INF, b2)
-                if (sk, sl) == (S, S):
-                    v2 = jnp.where(protect2, val[S, S], v2)
-                val = _set_row(val, sk, sl, v2)
+            tmask = (sk4 + sl4) == t
+            b4 = best
+            for (_x0, _x1, x2, x3), const, m2c in internal:
+                contrib = _shift_w(val + const, x2, x3)
+                if m2c:
+                    contrib = contrib + mu2_blk
+                live = (
+                    (k4 >= x2) & (l4 >= x3)
+                    & (sk4 >= x2) & (sl4 >= x3)
+                )
+                b4 = jnp.maximum(b4, jnp.where(live, contrib, INVALID))
+            v4 = jnp.where(b4 == INVALID, NEG_INF, b4)
+            v4 = jnp.where(protect4, val, v4)
+            val = jnp.where(tmask, v4, val)
         return val
 
     return update
@@ -355,19 +339,23 @@ def _nonaffine_kernel(D: int, G: int, S: int, params, SUB: int,
             vm1_ref[:] = jnp.full((W, W, SUB, LANES), INVALID, jnp.int32)
             vm2_ref[:] = jnp.full((W, W, SUB, LANES), INVALID, jnp.int32)
 
-        v1 = vm1_ref[:]
-        v2 = vm2_ref[:]
-        for u in range(G):
+        # fori_loop (not a Python unroll) keeps the compiled program one
+        # diagonal-body long no matter the chunk size G — unrolling G
+        # slab updates was the round-2 compile-time blowup.
+        def body(u, carry):
+            v1, v2 = carry
             d = g * G + u
-            val = update(d, mu1_ref[u], mu2_ref[u], v1, v2)
+            val = update(d, mu1_ref[pl.ds(u, 1)][0], mu2_ref[pl.ds(u, 1)][0],
+                         v1, v2)
             if score_only:
                 @pl.when(d == D - 1)
-                def _(val=val):
+                def _():
                     out_ref[0] = val
             else:
-                out_ref[u] = val
-            v2 = v1
-            v1 = val
+                out_ref[pl.ds(u, 1)] = val[None]
+            return val, v1
+
+        v1, v2 = jax.lax.fori_loop(0, G, body, (vm1_ref[:], vm2_ref[:]))
         vm1_ref[:] = v1
         vm2_ref[:] = v2
 
@@ -484,19 +472,23 @@ def _affine_kernel(D: int, G: int, S: int, params, SUB: int,
             vm1_ref[:] = jnp.full((Q, W, W, SUB, LANES), INVALID, jnp.int32)
             vm2_ref[:] = jnp.full((Q, W, W, SUB, LANES), INVALID, jnp.int32)
 
-        v1 = vm1_ref[:]
-        v2 = vm2_ref[:]
-        for u in range(G):
+        # fori_loop (not a Python unroll) keeps the compiled program one
+        # diagonal-body long no matter the chunk size G — unrolling G
+        # slab updates was the round-2 compile-time blowup.
+        def body(u, carry):
+            v1, v2 = carry
             d = g * G + u
-            val = update(d, mu1_ref[u], mu2_ref[u], v1, v2)
+            val = update(d, mu1_ref[pl.ds(u, 1)][0], mu2_ref[pl.ds(u, 1)][0],
+                         v1, v2)
             if score_only:
                 @pl.when(d == D - 1)
-                def _(val=val):
+                def _():
                     out_ref[0] = val
             else:
-                out_ref[u] = val
-            v2 = v1
-            v1 = val
+                out_ref[pl.ds(u, 1)] = val[None]
+            return val, v1
+
+        v1, v2 = jax.lax.fori_loop(0, G, body, (vm1_ref[:], vm2_ref[:]))
         vm1_ref[:] = v1
         vm2_ref[:] = v2
 
