@@ -116,8 +116,8 @@ def _device_put_sharded(arr, mesh):
 
 
 def _use_pallas_batched(affine: bool, mesh) -> bool:
-    """Pallas batched path: affine, single-device, on a TPU."""
-    if not affine or mesh is not None:
+    """Pallas batched path: affine on a TPU (single-device or mesh)."""
+    if not affine:
         return False
     try:
         import jax
@@ -125,6 +125,35 @@ def _use_pallas_batched(affine: bool, mesh) -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+def _pallas_scores_sharded(mu1d, mu2d, ns, ms, max_shift, params, mesh):
+    """shard_map of the batched Pallas kernel over the "data" mesh axis.
+
+    Each device runs the kernel on its local slice of the bucket's batch
+    axis; the output sharding reassembles the scores (one tiny gather).
+    The caller pads the batch to a multiple of the axis size.
+    """
+    from ..ops import pallas_dp
+
+    def shard_fn(m1, m2, nn, mm):
+        return pallas_dp._affine_pallas_batched(
+            m1, m2, nn, mm, max_shift, tuple(params)
+        )
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+        # pallas_call's output avals carry no varying-mesh-axes typing
+        check_vma=False,
+    )
+    args = [
+        _device_put_sharded(jnp.asarray(x), mesh)
+        for x in (mu1d, mu2d, ns, ms)
+    ]
+    return np.asarray(jax.device_get(jax.jit(fn)(*args)))
 
 
 def score_batch(tables, max_shift: int, params, *, affine: bool,
@@ -142,10 +171,10 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
     import jax.numpy as jnp
 
     tables = list(tables)
-    if engine == "pallas" and mesh is not None:
+    if engine == "pallas" and not affine:
         raise ValueError(
-            "engine='pallas' is single-device; use engine='auto'/'xla' "
-            "with a mesh (shard_map over the batched kernel is planned)"
+            "engine='pallas' batched scoring is affine-only; use "
+            "engine='auto'/'xla' for non-affine batches"
         )
     use_pallas = (
         engine == "pallas"
@@ -158,15 +187,28 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
                                p_last=True)
         out = np.zeros(len(tables), dtype=np.int64)
         for (N, M), b in buckets.items():
-            scores = np.asarray(jax.device_get(
-                pallas_dp._affine_pallas_batched(
-                    jnp.asarray(np.stack(b.mu1d)),
-                    jnp.asarray(np.stack(b.mu2d)),
-                    jnp.asarray(b.n, dtype=jnp.int32),
-                    jnp.asarray(b.m, dtype=jnp.int32),
-                    max_shift, tuple(params),
+            B = len(b.indices)
+            Bp = B
+            if mesh is not None:
+                ds = mesh.shape["data"]
+                Bp = ((B + ds - 1) // ds) * ds
+            pad = Bp - B
+            mu1d = np.stack(b.mu1d + [b.mu1d[-1]] * pad)
+            mu2d = np.stack(b.mu2d + [b.mu2d[-1]] * pad)
+            ns = np.asarray(b.n + [b.n[-1]] * pad, dtype=np.int32)
+            ms = np.asarray(b.m + [b.m[-1]] * pad, dtype=np.int32)
+            if mesh is not None:
+                scores = _pallas_scores_sharded(
+                    mu1d, mu2d, ns, ms, max_shift, params, mesh
                 )
-            ))
+            else:
+                scores = np.asarray(jax.device_get(
+                    pallas_dp._affine_pallas_batched(
+                        jnp.asarray(mu1d), jnp.asarray(mu2d),
+                        jnp.asarray(ns), jnp.asarray(ms),
+                        max_shift, tuple(params),
+                    )
+                ))
             for pos, idx in enumerate(b.indices):
                 out[idx] = scores[pos]
         return out

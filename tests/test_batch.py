@@ -80,3 +80,25 @@ def test_batched_pallas_engine_matches_oracle(pairs):
         engine="pallas",
     )
     assert (got == want).all()
+
+
+def test_sharded_pallas_engine_matches_oracle(pairs):
+    """shard_map of the batched Pallas kernel over an 8-device data mesh
+    (interpret mode on CPU) vs per-pair oracle — VERDICT r2 item 2."""
+    S, beta, gamma, delta = 1, -150, -50, -150
+    devices = np.array(jax.devices())
+    assert len(devices) == 8, "conftest should provide 8 virtual devices"
+    mesh = Mesh(devices, ("data",))
+    want = _oracle_scores(pairs, S, beta, gamma, delta, True)
+    got = pbatch.score_batch(
+        pairs, S, (beta, gamma, delta), affine=True, mesh=mesh,
+        bucket_quantum=16, engine="pallas",
+    )
+    assert (got == want).all()
+
+
+def test_batched_pallas_nonaffine_raises(pairs):
+    with pytest.raises(ValueError, match="affine-only"):
+        pbatch.score_batch(
+            pairs, 1, (-200, -250), affine=False, engine="pallas"
+        )
