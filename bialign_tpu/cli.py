@@ -18,18 +18,17 @@ from .version import __version__
 VERSION_STRING = f"BiAlign {__version__}"
 
 
-def bialign(seqA, seqB, strA, strB, verbose, **args):
-    """Generator of output lines for one alignment (reference bialign.py:10-22)."""
-    ba = BiAligner(seqA, seqB, strA, strB, **args)
-
-    optscore = ba.optimize()
-    yield "SCORE: " + str(optscore)
+def bialign(seqA, seqB, strA, strB, verbose, **params):
+    """Yield the output lines of one alignment run: the score header, a
+    blank separator, the decoded alignment in the requested outmode, and
+    (verbose) the per-column trace replay.  Output-parity target:
+    reference bialign.py:10-22."""
+    aligner = BiAligner(seqA, seqB, strA, strB, **params)
+    yield f"SCORE: {aligner.optimize()}"
     yield ""
-
-    yield from ba.decode_trace()
-
+    yield from aligner.decode_trace()
     if verbose:
-        yield from ba.eval_trace()
+        yield from aligner.eval_trace()
 
 
 def add_bialign_parameters(parser):
@@ -104,29 +103,41 @@ def add_bialign_parameters(parser):
     )
 
 
+def _resolve_file_inputs(ns) -> None:
+    """Under --fileinput, seqA/seqB are CFSSP filenames: load each file
+    and replace the sequence/structure pair in place."""
+    for side in ("A", "B"):
+        seq, struc = read_molecule_from_file(
+            getattr(ns, f"seq{side}"), ns.type
+        )
+        setattr(ns, f"seq{side}", seq)
+        setattr(ns, f"str{side}", struc)
+
+
+def _echo_inputs(ns) -> None:
+    """The reference CLI's Input: block (sequences always, structures
+    only when present)."""
+    print("Input:")
+    for label in ("seqA", "seqB", "strA", "strB"):
+        value = getattr(ns, label)
+        if value is not None:
+            print(f"{label}\t {value}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Bialignment.")
     add_bialign_parameters(parser)
-    args = parser.parse_args(argv)
+    ns = parser.parse_args(argv)
 
-    if args.fileinput:
-        args.seqA, args.strA = read_molecule_from_file(args.seqA, args.type)
-        args.seqB, args.strB = read_molecule_from_file(args.seqB, args.type)
+    if ns.fileinput:
+        _resolve_file_inputs(ns)
+    _echo_inputs(ns)
 
-    input_descr = ["Input:", "seqA\t " + args.seqA, "seqB\t " + args.seqB]
-    if args.strA is not None:
-        input_descr.append("strA\t " + args.strA)
-    if args.strB is not None:
-        input_descr.append("strB\t " + args.strB)
-    print("\n".join(input_descr))
-
-    if args.outmode == "help":
-        print()
-        print("Available modes: " + ", ".join(BiAligner.outmodes.keys()))
-        print()
+    if ns.outmode == "help":
+        print(f"\nAvailable modes: {', '.join(BiAligner.outmodes)}\n")
         raise SystemExit()
 
-    for line in bialign(**vars(args)):
+    for line in bialign(**vars(ns)):
         print(line)
 
 
