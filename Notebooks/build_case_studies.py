@@ -30,11 +30,11 @@ import numpy as np
 from bialign_tpu import BiAligner, read_dssp, read_stride
 from bialign_tpu.io.cfssp import read_molecule_from_file
 
-EXAMPLES = "/root/reference/Examples"
+from bialign_tpu.data import example_path
 seqA, strA = read_molecule_from_file(
-    f"{EXAMPLES}/DNAPolymerase1_Escherichia.cfssp", "Protein")
+    example_path("DNAPolymerase1_Escherichia.cfssp"), "Protein")
 seqB, strB = read_molecule_from_file(
-    f"{EXAMPLES}/DNAPolymerase1_Xanthomonas.cfssp", "Protein")
+    example_path("DNAPolymerase1_Xanthomonas.cfssp"), "Protein")
 print(len(seqA), len(seqB))""")
 
 md("""## DNA-Polymerase-1, full pair (928 x 933)

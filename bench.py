@@ -27,16 +27,16 @@ REPS = 4
 
 
 def _build_problem():
+    from bialign_tpu.data import example_path
     from bialign_tpu.io.cfssp import read_molecule_from_file
     from bialign_tpu.models.molecule import preprocess_molecule
     from bialign_tpu.scoring.tables import build_score_tables
 
-    ex = "/root/reference/Examples"
     seqA, strA = read_molecule_from_file(
-        f"{ex}/DNAPolymerase1_Escherichia.cfssp", "Protein"
+        example_path("DNAPolymerase1_Escherichia.cfssp"), "Protein"
     )
     seqB, strB = read_molecule_from_file(
-        f"{ex}/DNAPolymerase1_Xanthomonas.cfssp", "Protein"
+        example_path("DNAPolymerase1_Xanthomonas.cfssp"), "Protein"
     )
     params = dict(
         type="Protein", structure_weight=800, simmatrix="BLOSUM62",

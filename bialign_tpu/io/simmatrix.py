@@ -64,7 +64,10 @@ def materialize_matrix(name: str = "BLOSUM62", directory: str | None = None) -> 
 
     if name != "BLOSUM62":
         raise ValueError(f"unknown bundled matrix {name!r}")
-    directory = directory or tempfile.gettempdir()
+    if directory is None:
+        # private fresh directory, not a fixed world-shared /tmp path
+        # (symlink/pre-creation tampering on multi-user hosts)
+        directory = tempfile.mkdtemp(prefix="bialign_tpu_")
     path = os.path.join(directory, f"{name}.txt")
     with open(path, "w") as fh:
         fh.write(BLOSUM62_TEXT)

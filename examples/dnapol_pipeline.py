@@ -14,17 +14,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 from bialign_tpu import BiAligner
+from bialign_tpu.data import example_path
 from bialign_tpu.io.cfssp import read_molecule_from_file
 from bialign_tpu.utils.profiling import band_cells
 
 engine = sys.argv[1] if len(sys.argv) > 1 else "auto"
-EX = "/root/reference/Examples"
 
 seqA, strA = read_molecule_from_file(
-    f"{EX}/DNAPolymerase1_Escherichia.cfssp", "Protein"
+    example_path("DNAPolymerase1_Escherichia.cfssp"), "Protein"
 )
 seqB, strB = read_molecule_from_file(
-    f"{EX}/DNAPolymerase1_Xanthomonas.cfssp", "Protein"
+    example_path("DNAPolymerase1_Xanthomonas.cfssp"), "Protein"
 )
 
 t0 = time.perf_counter()

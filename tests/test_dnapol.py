@@ -5,14 +5,12 @@ BASELINE.md): prefix-150 with gap -200/-50, shift -210, sw 800, ms 1
 scores 117180.
 """
 
-from pathlib import Path
-
 import pytest
 
 from bialign_tpu import BiAligner
 from bialign_tpu.io.cfssp import read_molecule_from_file
 
-EXAMPLES = Path("/root/reference/Examples")
+from bialign_tpu.data import example_path
 
 PARAMS = dict(
     type="Protein",
@@ -28,10 +26,10 @@ PARAMS = dict(
 @pytest.fixture(scope="module")
 def dnapol():
     seqA, strA = read_molecule_from_file(
-        str(EXAMPLES / "DNAPolymerase1_Escherichia.cfssp"), "Protein"
+        example_path("DNAPolymerase1_Escherichia.cfssp"), "Protein"
     )
     seqB, strB = read_molecule_from_file(
-        str(EXAMPLES / "DNAPolymerase1_Xanthomonas.cfssp"), "Protein"
+        example_path("DNAPolymerase1_Xanthomonas.cfssp"), "Protein"
     )
     return seqA, seqB, strA, strB
 

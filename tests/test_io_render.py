@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 import golden as G
+from bialign_tpu.data import example_path, example_text
 from bialign_tpu.io.cfssp import read_molecule, read_molecule_from_file
 from bialign_tpu.io.simmatrix import read_simmatrix
 from bialign_tpu.render.plot import breaklines, runs, fourway_from_full
@@ -13,13 +14,11 @@ from bialign_tpu.render.plot import breaklines, runs, fourway_from_full
 
 def test_cfssp_reference_examples():
     seq, struc = read_molecule_from_file(
-        "/root/reference/Examples/DNAPolymerase1_Escherichia.cfssp",
-        "Protein",
+        example_path("DNAPolymerase1_Escherichia.cfssp"), "Protein"
     )
     assert len(seq) == len(struc) == 928
     seq2, struc2 = read_molecule_from_file(
-        "/root/reference/Examples/DNAPolymerase1_Xanthomonas.cfssp",
-        "Protein",
+        example_path("DNAPolymerase1_Xanthomonas.cfssp"), "Protein"
     )
     assert len(seq2) == len(struc2) == 933
 
@@ -48,14 +47,32 @@ def test_cfssp_rejects_bad_field_count():
 # -- simmatrix ------------------------------------------------------------
 
 def test_blosum62_embedded_matches_data_file():
+    import os
+
     emb = read_simmatrix("BLOSUM62")
-    fil = read_simmatrix("/root/reference/Data/BLOSUM62.txt")
-    assert emb.keys() == fil.keys()
-    for k in emb:
-        assert emb[k] == fil[k]
+    ref_file = "/root/reference/Data/BLOSUM62.txt"
+    if os.path.exists(ref_file):       # optional cross-check vs reference
+        fil = read_simmatrix(ref_file)
+        assert emb.keys() == fil.keys()
+        for k in emb:
+            assert emb[k] == fil[k]
     assert emb["A"]["A"] == 400           # 4 * scale 100
     assert emb["W"]["W"] == 1100
     assert emb["A"]["R"] == -100
+
+
+def test_bundled_examples_match_reference_when_present():
+    """The gzipped package data must byte-match the reference inputs."""
+    import os
+
+    ref_dir = "/root/reference/Examples"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference checkout not mounted")
+    from bialign_tpu.data import EXAMPLES
+
+    for name in EXAMPLES:
+        with open(os.path.join(ref_dir, name)) as fh:
+            assert example_text(name) == fh.read()
 
 
 def test_simmatrix_scale():
