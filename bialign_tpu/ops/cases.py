@@ -193,14 +193,14 @@ class AffineTables:
       score mu2; ``c_mu1_coef[q]``: seq-only half, mu1.
     """
 
-    def __init__(self, beta: int, gamma: int, delta: int):
+    def __init__(self, beta: int, gamma: int, delta: int, dtype=np.int32):
         self.beta, self.gamma, self.delta = beta, gamma, delta
         Q = N_STATES
-        self.a_const = np.zeros((Q, Q), dtype=np.int32)
+        self.a_const = np.zeros((Q, Q), dtype=dtype)
         self.b_src = np.zeros((Q, 3), dtype=np.int32)
-        self.b_const = np.zeros((Q, 3), dtype=np.int32)
+        self.b_const = np.zeros((Q, 3), dtype=dtype)
         self.c_src = np.zeros((Q, 3), dtype=np.int32)
-        self.c_const = np.zeros((Q, 3), dtype=np.int32)
+        self.c_const = np.zeros((Q, 3), dtype=dtype)
         self.mu1_coef = np.zeros(Q, dtype=np.int32)
         self.mu2_coef = np.zeros(Q, dtype=np.int32)
         self.b_mu2_coef = np.zeros(Q, dtype=np.int32)
@@ -229,12 +229,12 @@ class AffineTables:
 class NonAffineTables:
     """Parameter-bound constants for the 13 non-affine cases."""
 
-    def __init__(self, gamma: int, delta: int):
+    def __init__(self, gamma: int, delta: int, dtype=np.int32):
         self.gamma, self.delta = gamma, delta
         self.cols = np.array(NONAFFINE_COLS, dtype=np.int32)
         mults = np.array(
             [nonaffine_case_multiplicities(c) for c in NONAFFINE_COLS],
-            dtype=np.int32,
+            dtype=dtype,
         )
         self.mu1_coef = mults[:, 0]
         self.mu2_coef = mults[:, 1]

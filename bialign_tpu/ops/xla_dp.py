@@ -55,9 +55,17 @@ from .cases import (
 # (values stay above NEG_INF - path_drift >= -1.2e9, see check_int32_safe),
 # and never produced by arithmetic — only by explicit `where`.
 INVALID = np.int32(-(1 << 30) - (1 << 29))
+# int64-engine sentinel (overflow-unsafe inputs): far below NEG_INF minus
+# any realistic path drift, far above int64 overflow under +const+mu.
+INVALID64 = np.int64(-(1 << 62))
 
 
-def _diag_mu_tables(mu1: np.ndarray, mu2: np.ndarray, max_shift: int):
+def _sentinel(dtype):
+    return INVALID64 if np.dtype(dtype) == np.int64 else INVALID
+
+
+def _diag_mu_tables(mu1: np.ndarray, mu2: np.ndarray, max_shift: int,
+                    dtype=np.int32):
     """Precompute diagonal-layout score tables.
 
     MU1D[d, i]        = mu1[i, d-i]                      (0 out of range)
@@ -78,7 +86,7 @@ def _diag_mu_tables(mu1: np.ndarray, mu2: np.ndarray, max_shift: int):
     j_ = d_ - i_
     jok = (j_ >= 0) & (j_ <= m)
     MU1D = np.where(jok, mu1[np.minimum(i_, n), np.clip(j_, 0, m)], 0).astype(
-        np.int32
+        dtype
     )
 
     k_ = (i_[..., None, None] + np.arange(W)[None, None, :, None] - S)
@@ -86,12 +94,12 @@ def _diag_mu_tables(mu1: np.ndarray, mu2: np.ndarray, max_shift: int):
     ok = (k_ >= 0) & (k_ <= n) & (l_ >= 0) & (l_ <= m)
     MU2D = np.where(
         ok, mu2[np.clip(k_, 0, n), np.clip(l_, 0, m)], 0
-    ).astype(np.int32)
+    ).astype(dtype)
     return jnp.asarray(MU1D), jnp.asarray(MU2D)
 
 
-def _shift3(arr, di: int, dk: int, dl: int):
-    """result[..., i, sk, sl] = arr[..., i-di, sk-dk, sl-dl], INVALID fill.
+def _shift3(arr, di: int, dk: int, dl: int, fill=INVALID):
+    """result[..., i, sk, sl] = arr[..., i-di, sk-dk, sl-dl], ``fill`` fill.
 
     Static shifts via pad+slice (XLA fuses these); the fill value is never
     selected because every use site also guards the shifted range.
@@ -102,7 +110,7 @@ def _shift3(arr, di: int, dk: int, dl: int):
         (max(dk, 0), max(-dk, 0)),
         (max(dl, 0), max(-dl, 0)),
     ]
-    padded = jnp.pad(arr, pad, constant_values=INVALID)
+    padded = jnp.pad(arr, pad, constant_values=fill)
     sl = tuple(
         [slice(None)] * (arr.ndim - 3)
         + [
@@ -118,7 +126,8 @@ def _range_guard(idx, lo: int, hi_excl: int):
     return (idx >= lo) & (idx < hi_excl)
 
 
-def _build_affine_step(P, max_shift, params, score_only, i_base=0):
+def _build_affine_step(P, max_shift, params, score_only, i_base=0,
+                       dtype=np.int32):
     """Build the per-diagonal step function (shared by the single-pair scan
     and the batched traced-length score scan).
 
@@ -126,13 +135,16 @@ def _build_affine_step(P, max_shift, params, score_only, i_base=0):
     constants fold into the compiled program.  ``i_base`` offsets the
     lattice-row indices (may be a traced scalar) — the sequence-split
     multi-chip path gives each shard its global row range this way.
+    ``dtype=np.int64`` builds the overflow-safe variant (requires x64
+    enabled at trace time; see :func:`fill_affine`).
     """
     beta, gamma, delta = params
     S = max_shift
     W = 2 * S + 1
     Q = N_STATES
+    inval = _sentinel(dtype)
 
-    tabs = AffineTables(beta, gamma, delta)
+    tabs = AffineTables(beta, gamma, delta, dtype=dtype)
     a_const = jnp.asarray(tabs.a_const)        # [Q, Q]
     b_const = jnp.asarray(tabs.b_const)        # [Q, 3]
     c_const = jnp.asarray(tabs.c_const)        # [Q, 3]
@@ -142,12 +154,12 @@ def _build_affine_step(P, max_shift, params, score_only, i_base=0):
     sk_ar = jnp.arange(W, dtype=jnp.int32)[None, :, None]         # [1,W,1]
     sl_ar = jnp.arange(W, dtype=jnp.int32)[None, None, :]         # [1,1,W]
 
-    init_col = jnp.full((Q, 1, 1, 1), NEG_INF, jnp.int32).at[
+    init_col = jnp.full((Q, 1, 1, 1), NEG_INF, dtype).at[
         STATE_BOTH_MATCH
     ].set(0)
     origin_pos = (i_ar == 0) & (sk_ar == S) & (sl_ar == S)        # [P,W,W]
 
-    invalid_slab = jnp.full((Q, P, W, W), INVALID, jnp.int32)
+    invalid_slab = jnp.full((Q, P, W, W), inval, dtype)
 
     def step(carry, xs):
         vm1, vm2 = carry
@@ -156,14 +168,14 @@ def _build_affine_step(P, max_shift, params, score_only, i_base=0):
         k_ar = i_ar + sk_ar - S                  # k index
         l_ar = j_ar + sl_ar - S
 
-        best = jnp.full((Q, P, W, W), INVALID, jnp.int32)
+        best = jnp.full((Q, P, W, W), inval, dtype)
 
         for q in range(Q):
             a, b, c, dd = STATES[q]
             pred = vm1 if a + b == 1 else vm2
 
             # -- group A: full column == state q, all 9 sources (pyx:275-279)
-            shifted = _shift3(pred, a, c - a, dd - b)             # [Q,P,W,W]
+            shifted = _shift3(pred, a, c - a, dd - b, inval)      # [Q,P,W,W]
             contrib = shifted + a_const[q][:, None, None, None]
             agg = jnp.max(contrib, axis=0)
             mu_term = (
@@ -175,12 +187,13 @@ def _build_affine_step(P, max_shift, params, score_only, i_base=0):
                 & _range_guard(sk_ar - c + a, 0, W)
                 & _range_guard(sl_ar - dd + b, 0, W)
             )
-            cA = jnp.where(gA, agg + mu_term, INVALID)
+            cA = jnp.where(gA, agg + mu_term, inval)
 
             # -- group C: seq-only half column (a,b,0,0) (pyx:291-296);
             # predecessor shift indices grow: sk' = sk + a, sl' = sl + b
             srcs = jnp.stack(
-                [_shift3(pred[int(s)], a, -a, -b) for s in tabs.c_src[q]]
+                [_shift3(pred[int(s)], a, -a, -b, inval)
+                 for s in tabs.c_src[q]]
             )
             aggC = jnp.max(
                 srcs + c_const[q][:, None, None, None], axis=0
@@ -191,11 +204,11 @@ def _build_affine_step(P, max_shift, params, score_only, i_base=0):
                 & _range_guard(sk_ar + a, 0, W)
                 & _range_guard(sl_ar + b, 0, W)
             )
-            cC = jnp.where(gC, aggC + muC, INVALID)
+            cC = jnp.where(gC, aggC + muC, inval)
 
             best = best.at[q].set(jnp.maximum(cA, cC))
 
-        val = jnp.where(best == INVALID, NEG_INF, best)
+        val = jnp.where(best == inval, NEG_INF, best)
 
         # origin initialization (pyx:483-485), diag 0 only
         is_d0 = d == 0
@@ -211,7 +224,8 @@ def _build_affine_step(P, max_shift, params, score_only, i_base=0):
             for q in range(Q):
                 _a, _b, c, dd = STATES[q]
                 srcs = jnp.stack(
-                    [_shift3(val[int(s)], 0, c, dd) for s in tabs.b_src[q]]
+                    [_shift3(val[int(s)], 0, c, dd, inval)
+                     for s in tabs.b_src[q]]
                 )
                 aggB = jnp.max(
                     srcs + b_const[q][:, None, None, None], axis=0
@@ -221,9 +235,9 @@ def _build_affine_step(P, max_shift, params, score_only, i_base=0):
                     (k_ar >= c) & (l_ar >= dd)
                     & (sk_ar >= c) & (sl_ar >= dd)
                 )
-                cB = jnp.where(gB, aggB + muB, INVALID)
+                cB = jnp.where(gB, aggB + muB, inval)
                 bq = jnp.maximum(best[q], cB)
-                vq = jnp.where(bq == INVALID, NEG_INF, bq)
+                vq = jnp.where(bq == inval, NEG_INF, bq)
                 newb = newb.at[q].set(
                     jnp.where(commit_base, bq, best[q])
                 )
@@ -238,10 +252,11 @@ def _build_affine_step(P, max_shift, params, score_only, i_base=0):
     return step, invalid_slab
 
 
-def affine_scan(mu1d, mu2d, n, m, max_shift, params, score_only=False):
+def affine_scan(mu1d, mu2d, n, m, max_shift, params, score_only=False,
+                dtype=np.int32):
     """Scan over all diagonals; returns (final_slab, ys or None)."""
     step, invalid_slab = _build_affine_step(n + 1, max_shift, params,
-                                            score_only)
+                                            score_only, dtype=dtype)
     D = n + m + 1
     xs = (jnp.arange(D, dtype=jnp.int32), mu1d, mu2d)
     (last, _), ys = lax.scan(step, (invalid_slab, invalid_slab), xs)
@@ -277,16 +292,34 @@ def affine_score_traced(mu1d, mu2d, n, m, max_shift, params):
     return score
 
 
-_affine_scan = jax.jit(affine_scan, static_argnums=(2, 3, 4, 5, 6))
+_affine_scan = jax.jit(affine_scan, static_argnums=(2, 3, 4, 5, 6, 7))
 
 
 def fill_affine(mu1, mu2, max_shift, beta, gamma, delta, *, pallas=False,
-                score_only=False):
+                score_only=False, int64=False):
     """Affine band fill; returns H[q,i,j,sk,sl] (int64 numpy, oracle layout)
-    or, with score_only, the optimal score."""
+    or, with score_only, the optimal score.
+
+    ``int64=True`` runs the overflow-safe variant of the scan (for inputs
+    failing :func:`bialign_tpu.ops.cases.check_int32_safe`): same
+    recurrence and sentinels semantics at int64 width, traced under JAX
+    x64 so nothing downcasts.
+    """
     n = mu1.shape[0] - 1
     m = mu1.shape[1] - 1
     S = max_shift
+    if int64:
+        with jax.enable_x64():
+            mu1d, mu2d = _diag_mu_tables(
+                np.asarray(mu1), np.asarray(mu2), S, dtype=np.int64
+            )
+            last, ys = _affine_scan(
+                mu1d, mu2d, n, m, S, (beta, gamma, delta), score_only,
+                np.int64,
+            )
+            if score_only:
+                return int(np.max(np.asarray(last[:, n, S, S])))
+            return _diag_to_band(np.asarray(ys), n, m, S, affine=True)
     mu1d, mu2d = _diag_mu_tables(np.asarray(mu1), np.asarray(mu2), S)
     if pallas:
         from . import pallas_dp
@@ -303,7 +336,8 @@ def fill_affine(mu1, mu2, max_shift, beta, gamma, delta, *, pallas=False,
     return _diag_to_band(np.asarray(ys), n, m, S, affine=True)
 
 
-def _build_nonaffine_step(P, max_shift, params, score_only, i_base=0):
+def _build_nonaffine_step(P, max_shift, params, score_only, i_base=0,
+                          dtype=np.int32):
     """Per-diagonal step for the 13-case non-affine recurrence.
 
     ``i_base`` offsets the lattice-row indices (may be traced), see
@@ -312,8 +346,9 @@ def _build_nonaffine_step(P, max_shift, params, score_only, i_base=0):
     gamma, delta = params
     S = max_shift
     W = 2 * S + 1
+    inval = _sentinel(dtype)
 
-    tab = NonAffineTables(gamma, delta)
+    tab = NonAffineTables(gamma, delta, dtype=dtype)
     external = [
         (col, int(tab.const[ci]), int(tab.mu1_coef[ci]), int(tab.mu2_coef[ci]))
         for ci, col in enumerate(NONAFFINE_COLS)
@@ -331,7 +366,7 @@ def _build_nonaffine_step(P, max_shift, params, score_only, i_base=0):
     sl_ar = jnp.arange(W, dtype=jnp.int32)[None, None, :]
     origin_pos = (i_ar == 0) & (sk_ar == S) & (sl_ar == S)
 
-    invalid_slab = jnp.full((P, W, W), INVALID, jnp.int32)
+    invalid_slab = jnp.full((P, W, W), inval, dtype)
 
     def step(carry, xs):
         vm1, vm2 = carry
@@ -340,10 +375,10 @@ def _build_nonaffine_step(P, max_shift, params, score_only, i_base=0):
         k_ar = i_ar + sk_ar - S
         l_ar = j_ar + sl_ar - S
 
-        best = jnp.full((P, W, W), INVALID, jnp.int32)
+        best = jnp.full((P, W, W), inval, dtype)
         for (x0, x1, x2, x3), const, m1c, m2c in external:
             pred = vm1 if x0 + x1 == 1 else vm2
-            shifted = _shift3(pred, x0, x2 - x0, x3 - x1)
+            shifted = _shift3(pred, x0, x2 - x0, x3 - x1, inval)
             g = (
                 (i_ar >= x0) & (j_ar >= x1) & (k_ar >= x2) & (l_ar >= x3)
                 & _range_guard(sk_ar - x2 + x0, 0, W)
@@ -353,9 +388,9 @@ def _build_nonaffine_step(P, max_shift, params, score_only, i_base=0):
                 shifted + const
                 + m1c * mu1_row[:, None, None] + m2c * mu2_blk
             )
-            best = jnp.maximum(best, jnp.where(g, contrib, INVALID))
+            best = jnp.maximum(best, jnp.where(g, contrib, inval))
 
-        val = jnp.where(best == INVALID, NEG_INF, best)
+        val = jnp.where(best == inval, NEG_INF, best)
         is_d0 = d == 0
         val = jnp.where(is_d0 & origin_pos, 0, val)
         protect = is_d0 & origin_pos
@@ -364,14 +399,14 @@ def _build_nonaffine_step(P, max_shift, params, score_only, i_base=0):
             commit = (sk_ar + sl_ar == t) & ~protect
             b2 = best
             for (x0, x1, x2, x3), const, m2c in internal:
-                shifted = _shift3(val, 0, x2, x3)
+                shifted = _shift3(val, 0, x2, x3, inval)
                 g = (
                     (k_ar >= x2) & (l_ar >= x3)
                     & (sk_ar >= x2) & (sl_ar >= x3)
                 )
                 contrib = shifted + const + m2c * mu2_blk
-                b2 = jnp.maximum(b2, jnp.where(g, contrib, INVALID))
-            v2 = jnp.where(b2 == INVALID, NEG_INF, b2)
+                b2 = jnp.maximum(b2, jnp.where(g, contrib, inval))
+            v2 = jnp.where(b2 == inval, NEG_INF, b2)
             best = jnp.where(commit, b2, best)
             val = jnp.where(commit, v2, val)
 
@@ -381,10 +416,11 @@ def _build_nonaffine_step(P, max_shift, params, score_only, i_base=0):
     return step, invalid_slab
 
 
-def nonaffine_scan(mu1d, mu2d, n, m, max_shift, params, score_only=False):
+def nonaffine_scan(mu1d, mu2d, n, m, max_shift, params, score_only=False,
+                   dtype=np.int32):
     """Non-affine scan over all diagonals (unjitted core)."""
     step, invalid_slab = _build_nonaffine_step(n + 1, max_shift, params,
-                                               score_only)
+                                               score_only, dtype=dtype)
     D = n + m + 1
     xs = (jnp.arange(D, dtype=jnp.int32), mu1d, mu2d)
     (last, _), ys = lax.scan(step, (invalid_slab, invalid_slab), xs)
@@ -414,15 +450,29 @@ def nonaffine_score_traced(mu1d, mu2d, n, m, max_shift, params):
     return score
 
 
-_nonaffine_scan = jax.jit(nonaffine_scan, static_argnums=(2, 3, 4, 5, 6))
+_nonaffine_scan = jax.jit(nonaffine_scan, static_argnums=(2, 3, 4, 5, 6, 7))
 
 
 def fill_nonaffine(mu1, mu2, max_shift, gamma, delta, *, pallas=False,
-                   score_only=False):
-    """Non-affine band fill; H[i,j,sk,sl] int64 numpy, or the score."""
+                   score_only=False, int64=False):
+    """Non-affine band fill; H[i,j,sk,sl] int64 numpy, or the score.
+
+    ``int64=True``: overflow-safe variant, see :func:`fill_affine`.
+    """
     n = mu1.shape[0] - 1
     m = mu1.shape[1] - 1
     S = max_shift
+    if int64:
+        with jax.enable_x64():
+            mu1d, mu2d = _diag_mu_tables(
+                np.asarray(mu1), np.asarray(mu2), S, dtype=np.int64
+            )
+            last, ys = _nonaffine_scan(
+                mu1d, mu2d, n, m, S, (gamma, delta), score_only, np.int64
+            )
+            if score_only:
+                return int(np.asarray(last[n, S, S]))
+            return _diag_to_band(np.asarray(ys), n, m, S, affine=False)
     mu1d, mu2d = _diag_mu_tables(np.asarray(mu1), np.asarray(mu2), S)
     last, ys = _nonaffine_scan(
         mu1d, mu2d, n, m, S, (gamma, delta), score_only

@@ -149,3 +149,182 @@ def score_seqsplit(mu1, mu2, max_shift: int, params: tuple, *, mesh: Mesh,
     score = _score_jit(mu1d, mu2d, n, m, S, tuple(params), affine, K,
                        mesh=mesh, axis=axis)
     return int(jax.device_get(score))
+
+
+# -- sequence-split fill WITH traceback (checkpointed, sharded) ---------------
+#
+# VERDICT r2 item 5: a pair long enough to need sharding must still yield
+# the full bit-exact alignment.  The fill runs the same halo-exchange
+# wavefront but stores the scan carry every C diagonals (the checkpoint-
+# band recipe, ops/checkpoint_dp.py); blocks are rematerialized SHARDED on
+# demand, so no device ever holds more than its row slice of a block, and
+# the tiny blockwise walk itself reuses checkpoint_dp's reference-exact
+# traceback (smart-shift argmin, pyx:535-586) on the gathered block.
+
+import math
+from dataclasses import dataclass, field
+
+from ..ops.checkpoint_dp import (
+    CheckpointBand,
+    affine_traceback as _ckpt_affine_traceback,  # noqa: F401 (re-export)
+    default_block,
+)
+
+
+def _halo_machinery(axis: str, K: int, S: int, params, affine: bool,
+                    Pk: int, W: int):
+    """Shared per-shard pieces: halo-extended step + invalid carry."""
+    Q = N_STATES
+    build = _build_affine_step if affine else _build_nonaffine_step
+    perm = [(k, k + 1) for k in range(K - 1)]
+    idx = lax.axis_index(axis)
+    step, _ = build(Pk + 1, S, params, True, i_base=idx * Pk - 1)
+
+    shape = (Q, Pk, W, W) if affine else (Pk, W, W)
+    invalid = lax.pcast(jnp.full(shape, INVALID, jnp.int32), (axis,),
+                        to="varying")
+    row_ax = 1 if affine else 0
+
+    def halo_ext(v):
+        last = lax.slice_in_dim(v, Pk - 1, Pk, axis=row_ax)
+        halo = lax.ppermute(last, axis, perm)
+        halo = jnp.where(idx == 0, INVALID, halo)
+        return jnp.concatenate([halo, v], axis=row_ax)
+
+    def sstep(carry, xs):
+        vm1, vm2 = carry
+        d, mu1_row, mu2_blk = xs
+        mu1e = jnp.concatenate([jnp.zeros((1,), jnp.int32), mu1_row])
+        mu2e = jnp.concatenate(
+            [jnp.zeros((1, W, W), jnp.int32), mu2_blk]
+        )
+        (vale, _), _ = step((halo_ext(vm1), halo_ext(vm2)), (d, mu1e, mu2e))
+        val = lax.slice_in_dim(vale, 1, Pk + 1, axis=row_ax)
+        return (val, vm1), val
+
+    return sstep, invalid, row_ax
+
+
+@functools.lru_cache(maxsize=32)
+def _ckpt_fill_fn(mesh, axis, n, m, S, params, affine, K):
+    """shard_map-ed checkpointing fill: (db, mu1b, mu2b) -> (final, ckpts)."""
+    W = 2 * S + 1
+
+    def body(db, mu1b_loc, mu2b_loc):
+        NB, C, Pk = mu1b_loc.shape
+        sstep, invalid, _ = _halo_machinery(
+            axis, K, S, params, affine, Pk, W
+        )
+
+        def inner(carry, xs):
+            vm1, vm2, final = carry
+            (val, pvm1), _ = sstep((vm1, vm2), xs)
+            final = jnp.where(xs[0] == n + m, val, final)
+            return (val, pvm1, final), None
+
+        def outer(carry, xs):
+            ck = jnp.stack([carry[0], carry[1]])
+            carry, _ = lax.scan(inner, carry, xs)
+            return carry, ck
+
+        init = (invalid, invalid, invalid)
+        (_, _, final), ckpts = lax.scan(
+            outer, init, (db, mu1b_loc, mu2b_loc)
+        )
+        return final, ckpts
+
+    if affine:
+        fin_spec, ck_spec = PS(None, axis), PS(None, None, None, axis)
+    else:
+        fin_spec, ck_spec = PS(axis), PS(None, None, axis)
+    return jax.jit(jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(PS(), PS(None, None, axis),
+                  PS(None, None, axis, None, None)),
+        out_specs=(fin_spec, ck_spec),
+    ))
+
+
+@functools.lru_cache(maxsize=32)
+def _block_remat_fn(mesh, axis, S, params, affine, K):
+    """shard_map-ed block rematerialisation: ys_ext[C+2, (Q,) P, W, W]."""
+    W = 2 * S + 1
+
+    def body(ck_loc, db, mu1blk_loc, mu2blk_loc):
+        C, Pk = mu1blk_loc.shape
+        sstep, _, _ = _halo_machinery(axis, K, S, params, affine, Pk, W)
+        (_, _), ys = lax.scan(
+            sstep, (ck_loc[0], ck_loc[1]), (db, mu1blk_loc, mu2blk_loc)
+        )
+        return jnp.concatenate([ck_loc[1][None], ck_loc[0][None], ys],
+                               axis=0)
+
+    if affine:
+        ck_spec, ys_spec = PS(None, None, axis), PS(None, None, axis)
+    else:
+        ck_spec, ys_spec = PS(None, axis), PS(None, axis)
+    return jax.jit(jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(ck_spec, PS(), PS(None, axis),
+                  PS(None, axis, None, None)),
+        out_specs=ys_spec,
+    ))
+
+
+@dataclass(frozen=True)
+class SeqsplitBand(CheckpointBand):
+    """Checkpointed band whose fill AND block rematerialisation run
+    sharded over the ``axis`` mesh axis; the inherited blockwise
+    traceback / cells() walk the gathered blocks bit-exactly."""
+
+    mesh: Mesh = None
+    axis: str = "sp"
+
+    def _recompute(self, b: int):
+        fn = _block_remat_fn(self.mesh, self.axis, self.max_shift,
+                             tuple(self.params), self.affine,
+                             self.mesh.shape[self.axis])
+        ys_ext = fn(self.ckpts[b], self.db[b], self.mu1b[b], self.mu2b[b])
+        # gather to host: the walk reads scattered single cells, which
+        # would otherwise become per-cell cross-device collectives
+        return np.asarray(jax.device_get(ys_ext))
+
+
+def fill_seqsplit(mu1, mu2, max_shift: int, params: tuple, *, mesh: Mesh,
+                  axis: str = "sp", affine: bool = True,
+                  block: int | None = None) -> SeqsplitBand:
+    """Sequence-split fill of one pair with traceback support.
+
+    Returns a :class:`SeqsplitBand` (a :class:`CheckpointBand`), so
+    ``checkpoint_dp.affine_traceback`` / ``nonaffine_traceback`` and the
+    BiAligner decode path work on it unchanged.
+    """
+    from ..ops.checkpoint_dp import _blocked_inputs
+
+    n = mu1.shape[0] - 1
+    m = mu1.shape[1] - 1
+    S = max_shift
+    K = mesh.shape[axis]
+    D = n + m + 1
+    C = block or default_block(D)
+
+    mu1d, mu2d = _diag_mu_tables(np.asarray(mu1), np.asarray(mu2), S)
+    mu1d, mu2d = _pad_rows(np.asarray(mu1d), np.asarray(mu2d), K)
+    db, mu1b, mu2b = _blocked_inputs(
+        jnp.asarray(mu1d), jnp.asarray(mu2d), D, C
+    )
+
+    row = NamedSharding(mesh, PS(None, None, axis))
+    mu1b = jax.device_put(mu1b, row)
+    mu2b = jax.device_put(
+        mu2b, NamedSharding(mesh, PS(None, None, axis, None, None))
+    )
+    fn = _ckpt_fill_fn(mesh, axis, n, m, S, tuple(params), affine, K)
+    final, ckpts = fn(db, mu1b, mu2b)
+    return SeqsplitBand(
+        ckpts=ckpts, final=final, db=db, mu1b=mu1b, mu2b=mu2b, n=n, m=m,
+        max_shift=S, affine=affine, params=tuple(params), mesh=mesh,
+        axis=axis,
+    )

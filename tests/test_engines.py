@@ -90,3 +90,28 @@ def test_score_only_matches_band():
     wantn = reference_dp.nonaffine_score_from_band(Hn, 9, 8, S)
     gotn = xla_dp.fill_nonaffine(mu1, mu2, S, gamma, delta, score_only=True)
     assert gotn == wantn
+
+
+def test_int32_overflow_uses_int64_engine():
+    """Inputs beyond the certified int32 range must warn and run the
+    vectorized int64 XLA scan (not the host oracle), bit-matching the
+    oracle's score and decoded alignment (VERDICT r2 item 9)."""
+    import pytest
+
+    from bialign_tpu import BiAligner
+
+    seqA, seqB = "ACDEFGHIKL", "ACDEFGAIKL"
+    strA, strB = "HHHHHEEEEE", "HHHHEEEEEC"
+    params = dict(
+        type="Protein", structure_weight=500_000_000,  # path sums > 2^31
+        simmatrix="BLOSUM62", gap_opening_cost=-150, gap_cost=-50,
+        shift_cost=-150, max_shift=1,
+    )
+    ba = BiAligner(seqA, seqB, strA, strB, engine="xla", **params)
+    with pytest.warns(RuntimeWarning, match="int64 XLA engine"):
+        score = ba.optimize()
+    assert score > np.iinfo(np.int32).max  # int32 would have overflowed
+
+    oracle = BiAligner(seqA, seqB, strA, strB, engine="numpy", **params)
+    assert score == oracle.optimize()
+    assert list(ba.decode_trace()) == list(oracle.decode_trace())
