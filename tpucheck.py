@@ -1,0 +1,136 @@
+"""TPU end-to-end smoke tier (VERDICT r2 item 3).
+
+Runs the COMPILED (non-interpret) Pallas fill + on-device traceback +
+full decode on the attached accelerator and asserts golden outputs:
+
+* toy RNA, affine, max_shift 1        -> SCORE 6800 + 6 default lines
+* toy RNA, non-affine CLI defaults,
+  max_shift 2                          -> SCORE 6300 + 6 default lines
+* toy protein, affine, sorted outmode  -> SCORE 48500 + 17 sorted lines
+* DNA-Pol-1 prefix 150x150, affine     -> SCORE 117180 (fill + traceback)
+
+Each case reports cold (first-call, incl. compile) and warm wall times.
+Writes ONE JSON object to TPUCHECK_r0N.json (argv[1], default
+TPUCHECK.json) and prints it; rc 0 iff every case passed.
+
+The pytest suite runs on forced-CPU interpret mode (tests/conftest.py);
+this script is the compiled-on-TPU evidence the CPU tier cannot give.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+
+import golden as G  # noqa: E402
+
+
+def _strip_names(lines):
+    return [ln for ln in lines]
+
+
+def _run_case(name, mol, params, want_score, want_lines, engine="pallas"):
+    from bialign_tpu import BiAligner
+
+    res = {"name": name, "engine": engine}
+    try:
+        t0 = time.perf_counter()
+        ba = BiAligner(mol["seqA"], mol["seqB"], mol.get("strA"),
+                       mol.get("strB"), engine=engine, **params)
+        score = ba.optimize()
+        res["t_fill_cold_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        lines = list(ba.decode_trace())
+        res["t_traceback_decode_s"] = round(time.perf_counter() - t0, 2)
+
+        # warm repeat (fresh aligner, same shapes -> compile cache hits)
+        t0 = time.perf_counter()
+        ba2 = BiAligner(mol["seqA"], mol["seqB"], mol.get("strA"),
+                        mol.get("strB"), engine=engine, **params)
+        score2 = ba2.optimize()
+        lines2 = list(ba2.decode_trace())
+        res["t_warm_total_s"] = round(time.perf_counter() - t0, 2)
+
+        res["score"] = score
+        res["score_ok"] = (score == want_score) and (score2 == want_score)
+        if want_lines is not None:
+            res["lines_ok"] = (lines == want_lines) and (lines2 == want_lines)
+            if not res["lines_ok"]:
+                res["got_lines"] = lines[:4]
+        else:
+            res["lines_ok"] = bool(lines) and lines == lines2
+        res["ok"] = bool(res["score_ok"] and res["lines_ok"])
+    except Exception as e:  # noqa: BLE001 - smoke tier records any failure
+        res["ok"] = False
+        res["error"] = f"{type(e).__name__}: {e}"
+    return res
+
+
+def _dnapol_prefix_case():
+    from bialign_tpu.data import example_path
+    from bialign_tpu.io.cfssp import read_molecule_from_file
+
+    seqA, strA = read_molecule_from_file(
+        example_path("DNAPolymerase1_Escherichia.cfssp"), "Protein"
+    )
+    seqB, strB = read_molecule_from_file(
+        example_path("DNAPolymerase1_Xanthomonas.cfssp"), "Protein"
+    )
+    mol = dict(seqA=seqA[:150], seqB=seqB[:150], strA=strA[:150],
+               strB=strB[:150])
+    params = dict(
+        type="Protein", shift_cost=-210, structure_weight=800,
+        simmatrix="BLOSUM62", gap_opening_cost=-200, gap_cost=-50,
+        max_shift=1,
+    )
+    return mol, params
+
+
+def main():
+    # apply JAX_PLATFORMS/compile-cache config BEFORE any backend init
+    # (a sitecustomize may have pinned the platform already)
+    from bialign_tpu.utils.jaxconfig import ensure_compile_cache
+
+    ensure_compile_cache()
+    import jax
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "TPUCHECK.json"
+    engine = sys.argv[2] if len(sys.argv) > 2 else "pallas"
+    t_start = time.perf_counter()
+    platform = jax.devices()[0].platform
+    report = {
+        "platform": platform,
+        "device": str(jax.devices()[0]),
+        "cases": [],
+    }
+
+    report["cases"].append(_run_case(
+        "toy_rna_affine_ms1", G.TOY_RNA, G.TOY_RNA_AFFINE_PARAMS,
+        G.TOY_RNA_AFFINE_SCORE, G.TOY_RNA_AFFINE_DEFAULT_OUT, engine,
+    ))
+    report["cases"].append(_run_case(
+        "toy_rna_nonaffine_ms2", G.TOY_RNA, G.TOY_RNA_NONAFFINE_PARAMS,
+        G.TOY_RNA_NONAFFINE_SCORE, G.TOY_RNA_NONAFFINE_DEFAULT_OUT, engine,
+    ))
+    report["cases"].append(_run_case(
+        "toy_protein_affine_sorted", G.TOY_PROTEIN, G.TOY_PROTEIN_PARAMS,
+        G.TOY_PROTEIN_SCORE, G.TOY_PROTEIN_SORTED_OUT, engine,
+    ))
+    mol, params = _dnapol_prefix_case()
+    report["cases"].append(_run_case(
+        "dnapol_prefix150_affine", mol, params, 117180, None, engine,
+    ))
+
+    report["ok"] = all(c["ok"] for c in report["cases"])
+    report["t_total_s"] = round(time.perf_counter() - t_start, 1)
+    with open(out_path, "w") as fh:
+        json.dump(report, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
