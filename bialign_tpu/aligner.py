@@ -143,6 +143,16 @@ class BiAligner:
         n = self.molA["len"]
         m = self.molB["len"]
         engine = self._engine
+        if self._params.get("lowmem") and engine not in ("xla", "pallas"):
+            import warnings
+
+            warnings.warn(
+                f"lowmem=True is not supported by engine {engine!r} and is "
+                "ignored (the checkpointed band needs a JAX engine; use "
+                "engine='xla' or 'pallas')",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         if engine in ("xla", "pallas") and not check_int32_safe(
             self.mu1, self.mu2, self._params
         ):
@@ -217,6 +227,11 @@ class BiAligner:
             elif self._params.get("lowmem"):
                 # O(sqrt(D))-memory mode: store only scan-carry checkpoints,
                 # rematerialize band blocks during traceback (bit-exact).
+                # The checkpointed fill is the XLA wavefront scan for BOTH
+                # engine='xla' and engine='pallas' (the Pallas kernel has no
+                # checkpointing variant); memory savings are ~O(sqrt(D)) on
+                # the affine path, ~2x non-affine (blocked mu tables stay
+                # O(D)).
                 from .ops import checkpoint_dp
 
                 block = self._params.get("checkpoint_block")

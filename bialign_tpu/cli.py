@@ -99,7 +99,8 @@ def add_bialign_parameters(parser):
         "--lowmem", action="store_true",
         help="Linear-memory band mode: store only scan checkpoints and "
         "rematerialize band blocks during traceback (bialign-tpu "
-        "extension; bit-exact, ~10x less device memory)",
+        "extension; bit-exact; ~10x less device memory on the affine "
+        "path, ~2x non-affine; fill runs as the XLA scan)",
     )
 
 

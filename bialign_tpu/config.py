@@ -10,7 +10,7 @@ validated front door for programmatic users and the streaming driver.
 
 from __future__ import annotations
 
-from dataclasses import asdict, dataclass, fields
+from dataclasses import dataclass, fields
 
 
 @dataclass
@@ -30,10 +30,13 @@ class AlignConfig:
     nameB: str = "B"
     outmode: str = "default"
     nodescription: bool = False
-    # bialign-tpu extensions: DP engine selection; linear-memory band mode
+    # bialign-tpu extensions: DP engine selection; linear-memory band mode;
+    # optional jax.sharding.Mesh for the cross-chip sequence-split fill
     engine: str = "auto"
     lowmem: bool = False
     checkpoint_block: int | None = None
+    seqsplit_mesh: object | None = None
+    seqsplit_axis: str = "sp"
 
     def __post_init__(self):
         if self.type not in ("RNA", "Protein"):
@@ -58,8 +61,12 @@ class AlignConfig:
         return cls(**{k: v for k, v in params.items() if k in names})
 
     def to_params(self) -> dict:
-        """Flat dict in the shape ``BiAligner(**params)`` expects."""
-        return asdict(self)
+        """Flat dict in the shape ``BiAligner(**params)`` expects.
+
+        Shallow copy on purpose: ``seqsplit_mesh`` may hold a live
+        ``jax.sharding.Mesh``, which must not be deep-copied.
+        """
+        return {f.name: getattr(self, f.name) for f in fields(self)}
 
     def aligner(self, seqA, seqB, strA=None, strB=None):
         """Construct a :class:`bialign_tpu.BiAligner` from this config."""

@@ -11,8 +11,10 @@ This module is the DP analog of gradient rematerialisation
 ``C`` diagonals (a "checkpoint" = the two live diagonal slabs), and the
 traceback walks the band block by block, recomputing each visited block of
 ``C`` diagonals on device from its checkpoint.  With C ~ sqrt(2*D) the
-peak memory is O(sqrt(D)) slabs instead of O(D) — ~14x less for DNA-Pol-1
-— while the walk itself is **bit-exact** with the full-band device
+peak memory of the *band* is O(sqrt(D)) slabs instead of O(D) — ~14x less
+for DNA-Pol-1 on the affine path.  (Non-affine savings are only ~2x: the
+blocked mu2b tables stay device-resident at [D, P, W, W], which equals the
+full non-affine band size.)  The walk is **bit-exact** with the full-band
 traceback (same fill values, same co-optimal tie-breaking, reference
 semantics bialignment.pyx:513-586).  This is deliberately NOT Hirschberg
 divide-and-conquer: Hirschberg halves memory asymptotically the same way
@@ -397,6 +399,21 @@ def _decode_codes(codes_walk_order):
     ]
 
 
+def _check_step_cap(out, Lblk: int, d0: int) -> None:
+    """Defensive: the per-block step cap (_blk_cap) is believed
+    unreachable, but if it ever fired while the walker is still inside the
+    block (i+j >= d0), the host loop would misread it as a block
+    transition, descend a block, and read wrong diagonals — a silently
+    corrupt trace.  Fail loudly instead."""
+    if int(out["step"]) >= Lblk and int(out["i"]) + int(out["j"]) >= d0:
+        raise RuntimeError(
+            "checkpoint traceback: per-block step cap hit before leaving "
+            f"the block (step={int(out['step'])}, i+j="
+            f"{int(out['i']) + int(out['j'])}, block start diagonal {d0}) "
+            "— trace would be corrupt; please report this input"
+        )
+
+
 def affine_traceback(cb: CheckpointBand, beta: int, gamma: int, delta: int,
                      mu1, mu2):
     """Blockwise affine traceback; (trace, complete) like the full-band
@@ -433,6 +450,7 @@ def affine_traceback(cb: CheckpointBand, beta: int, gamma: int, delta: int,
         done = int(out["done"])
         if done:
             break
+        _check_step_cap(out, _blk_cap(C, S), b * C)
         st = dict(
             i=jnp.int32(out["i"]), j=jnp.int32(out["j"]),
             k=jnp.int32(out["k"]), l=jnp.int32(out["l"]),
@@ -471,6 +489,7 @@ def nonaffine_traceback(cb: CheckpointBand, gamma: int, delta: int, mu1,
         )
         if at_origin or int(out["done"]):
             break
+        _check_step_cap(out, _blk_cap(C, S), b * C)
         st = dict(
             i=jnp.int32(out["i"]), j=jnp.int32(out["j"]),
             k=jnp.int32(out["k"]), l=jnp.int32(out["l"]),

@@ -93,3 +93,13 @@ def test_checkpoint_memory_is_sublinear():
 def test_default_block_scaling():
     assert checkpoint_dp.default_block(8) == 8
     assert checkpoint_dp.default_block(1862) == 62
+
+
+def test_lowmem_unsupported_engine_warns():
+    """lowmem=True with a non-JAX engine warns instead of silently
+    ignoring the request (ADVICE r2)."""
+    ba = _aligner(TOY_RNA, TOY_RNA_AFFINE_PARAMS, engine="numpy",
+                  lowmem=True)
+    with pytest.warns(RuntimeWarning, match="lowmem"):
+        score = ba.optimize()
+    assert score == TOY_RNA_AFFINE_SCORE
