@@ -100,9 +100,19 @@ def main():
     engine = sys.argv[2] if len(sys.argv) > 2 else "pallas"
     t_start = time.perf_counter()
     platform = jax.devices()[0].platform
+    # First device execution pays the platform/tunnel session warmup
+    # (measured 20-200 s on the axon-tunneled v5e, independent of the
+    # program) — time it separately so per-case numbers reflect the
+    # framework, not the serving platform.
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    jax.device_get(jax.device_put(jnp.ones((8, 128))) + 1)
+    t_init = round(time.perf_counter() - t0, 2)
     report = {
         "platform": platform,
         "device": str(jax.devices()[0]),
+        "t_device_init_s": t_init,
         "cases": [],
     }
 
