@@ -105,15 +105,21 @@ def _fill_cells_metric(mu1, mu2, S, affine, expect, on_tpu):
     ptuple = (beta, gamma, delta) if affine else (gamma, delta)
 
     if on_tpu:
-        mu1d, mu2d = pallas_dp._diag_mu_tables_plast(mu1, mu2, S)
+        Ppad = pallas_dp._round_up(n + 1, pallas_dp.LANES)
+        pick = (pallas_dp._pick_chunk if affine
+                else pallas_dp._pick_chunk_nonaffine)
+        G = pick(S, Ppad, True, False)
+        D_pad = pallas_dp._bucket_D(n + m + 1, G, False)
+        mu1d, mu2d = pallas_dp._diag_mu_tables_plast(mu1, mu2, S, D_pad)
+        d_last = jnp.asarray([n + m], dtype=jnp.int32)
 
         def one(m1, m2):
             if affine:
-                o = pallas_dp._affine_pallas(m1, m2, n, m, S, ptuple, True,
-                                             False)
+                o = pallas_dp._affine_pallas(m1, m2, d_last, S, ptuple,
+                                             True, False)
                 return jnp.max(o[0, :, S, S, n])
-            o = pallas_dp._nonaffine_pallas(m1, m2, n, m, S, ptuple, True,
-                                            False)
+            o = pallas_dp._nonaffine_pallas(m1, m2, d_last, S, ptuple,
+                                            True, False)
             return o[0, S, S, n]
     else:
         mu1d, mu2d = xla_dp._diag_mu_tables(mu1, mu2, S)

@@ -325,13 +325,16 @@ def _make_nonaffine_update(S: int, params, SUB: int):
     return update
 
 
-def _nonaffine_kernel(D: int, G: int, S: int, params, SUB: int,
-                      score_only: bool):
-    """Single-pair non-affine kernel body (G diagonals per grid step)."""
+def _nonaffine_kernel(G: int, S: int, params, SUB: int, score_only: bool):
+    """Single-pair non-affine kernel body (G diagonals per grid step).
+
+    The pair's true final diagonal arrives at runtime (``d_last_ref``,
+    scalar prefetch) so one compiled program serves every input length in
+    a bucket; diagonals past it compute garbage that is never read."""
     W = 2 * S + 1
     update = _make_nonaffine_update(S, params, SUB)
 
-    def kernel(mu1_ref, mu2_ref, out_ref, vm1_ref, vm2_ref):
+    def kernel(d_last_ref, mu1_ref, mu2_ref, out_ref, vm1_ref, vm2_ref):
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -348,7 +351,7 @@ def _nonaffine_kernel(D: int, G: int, S: int, params, SUB: int,
             val = update(d, mu1_ref[pl.ds(u, 1)][0], mu2_ref[pl.ds(u, 1)][0],
                          v1, v2)
             if score_only:
-                @pl.when(d == D - 1)
+                @pl.when(d == d_last_ref[0])
                 def _():
                     out_ref[0] = val
             else:
@@ -362,60 +365,59 @@ def _nonaffine_kernel(D: int, G: int, S: int, params, SUB: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
-def _nonaffine_pallas(mu1d, mu2d, n, m, max_shift, params, score_only,
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _nonaffine_pallas(mu1d, mu2d, d_last, max_shift, params, score_only,
                       interpret):
+    """mu1d: [D_pad, Ppad]; mu2d: [D_pad, W, W, Ppad]; d_last: [1] int32
+    (true final diagonal n+m).  D_pad is the bucketed diagonal count
+    (a multiple of the chunk G), so the compile key depends only on the
+    bucket, never the exact pair lengths."""
     S = max_shift
     W = 2 * S + 1
-    D = n + m + 1
+    D_pad = mu1d.shape[0]
     Ppad = mu1d.shape[1]
     SUB = Ppad // LANES
-    # non-affine slabs have no state axis: out block is Q x smaller
-    slab_bytes = W * W * Ppad * 4
-    out_bytes = 4 if score_only else slab_bytes
-    per_diag = 2 * (W * W * Ppad * 4 + Ppad * 4 + out_bytes)
-    G = 1 if interpret else int(
-        min(max(1, min(16, (6 * 1024 * 1024) // per_diag)), D)
-    )
-    Dg = -(-D // G)
-    D_pad = Dg * G
+    G = _pick_chunk_nonaffine(S, Ppad, score_only, interpret)
+    Dg = D_pad // G
 
-    mu1t = mu1d.reshape(mu1d.shape[0], SUB, LANES)
-    mu2t = mu2d.reshape(mu2d.shape[0], W, W, SUB, LANES)
-    if D_pad > D:
-        mu1t = jnp.pad(mu1t, ((0, D_pad - D), (0, 0), (0, 0)))
-        mu2t = jnp.pad(mu2t, ((0, D_pad - D),) + ((0, 0),) * 4)
-    kernel = _nonaffine_kernel(D, G, S, params, SUB, score_only)
+    mu1t = mu1d.reshape(D_pad, SUB, LANES)
+    mu2t = mu2d.reshape(D_pad, W, W, SUB, LANES)
+    kernel = _nonaffine_kernel(G, S, params, SUB, score_only)
     if score_only:
         out_shape = jax.ShapeDtypeStruct((1, W, W, SUB, LANES), jnp.int32)
         out_specs = pl.BlockSpec((1, W, W, SUB, LANES),
-                                 lambda g: (0, 0, 0, 0, 0),
+                                 lambda g, dl: (0, 0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
         out_shape = jax.ShapeDtypeStruct((D_pad, W, W, SUB, LANES),
                                          jnp.int32)
         out_specs = pl.BlockSpec((G, W, W, SUB, LANES),
-                                 lambda g: (g, 0, 0, 0, 0),
+                                 lambda g, dl: (g, 0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
 
     slab = pltpu.VMEM((W, W, SUB, LANES), jnp.int32)
-    ys = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(Dg,),
         in_specs=[
-            pl.BlockSpec((G, SUB, LANES), lambda g: (g, 0, 0),
+            pl.BlockSpec((G, SUB, LANES), lambda g, dl: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, W, W, SUB, LANES), lambda g: (g, 0, 0, 0, 0),
+            pl.BlockSpec((G, W, W, SUB, LANES),
+                         lambda g, dl: (g, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
-        out_shape=out_shape,
         scratch_shapes=[slab, slab],
+    )
+    ys = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(mu1t, mu2t)
+    )(d_last, mu1t, mu2t)
     return ys.reshape(ys.shape[0], W, W, SUB * LANES)
 
 
@@ -424,14 +426,13 @@ def fill_nonaffine_device(mu1, mu2, max_shift, gamma, delta, *,
     """Non-affine Pallas fill; returns a DeviceBand (p_last layout)."""
     from .band import DeviceBand
 
-    n = mu1.shape[0] - 1
-    m = mu1.shape[1] - 1
     S = max_shift
     if interpret is None:
         interpret = not _on_tpu()
-    mu1d, mu2d = _diag_mu_tables_plast(np.asarray(mu1), np.asarray(mu2), S)
+    mu1d, mu2d, d_last, n, m = _prep_single(mu1, mu2, S, False, interpret,
+                                            False)
     ys = _nonaffine_pallas(
-        mu1d, mu2d, n, m, S, (gamma, delta), False, interpret
+        mu1d, mu2d, d_last, S, (gamma, delta), False, interpret
     )
     return DeviceBand(ys=ys, n=n, m=m, max_shift=S, affine=False,
                       p_last=True)
@@ -439,32 +440,34 @@ def fill_nonaffine_device(mu1, mu2, max_shift, gamma, delta, *,
 
 def nonaffine_score(mu1, mu2, max_shift, gamma, delta, *, interpret=None):
     """Non-affine optimal score via the Pallas kernel (score-only path)."""
-    n = mu1.shape[0] - 1
-    m = mu1.shape[1] - 1
     S = max_shift
     if interpret is None:
         interpret = not _on_tpu()
-    mu1d, mu2d = _diag_mu_tables_plast(np.asarray(mu1), np.asarray(mu2), S)
+    mu1d, mu2d, d_last, n, m = _prep_single(mu1, mu2, S, True, interpret,
+                                            False)
     last = _nonaffine_pallas(
-        mu1d, mu2d, n, m, S, (gamma, delta), True, interpret
+        mu1d, mu2d, d_last, S, (gamma, delta), True, interpret
     )
-    return int(jax.device_get(last[0, S, S, n]))
+    return int(jax.device_get(
+        jnp.take(last[0, S, S, :], jnp.int32(n), axis=-1)
+    ))
 
 
-def _affine_kernel(D: int, G: int, S: int, params, SUB: int,
-                   score_only: bool):
+def _affine_kernel(G: int, S: int, params, SUB: int, score_only: bool):
     """Single-pair kernel body: each grid step advances G diagonals.
 
     Chunking amortizes the per-step grid/pipelining overhead; the carry
     rides SSA values within a chunk and round-trips the VMEM scratch
-    slabs only at chunk boundaries.  Diagonals past D-1 (the padded tail
-    of the last chunk) compute garbage that is provably never read.
+    slabs only at chunk boundaries.  The pair's true final diagonal is a
+    runtime scalar (``d_last_ref``) so one compiled program serves every
+    input length in a bucket; diagonals past it compute garbage that is
+    provably never read.
     """
     Q = N_STATES
     W = 2 * S + 1
     update = _make_update(S, params, SUB)
 
-    def kernel(mu1_ref, mu2_ref, out_ref, vm1_ref, vm2_ref):
+    def kernel(d_last_ref, mu1_ref, mu2_ref, out_ref, vm1_ref, vm2_ref):
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -481,7 +484,7 @@ def _affine_kernel(D: int, G: int, S: int, params, SUB: int,
             val = update(d, mu1_ref[pl.ds(u, 1)][0], mu2_ref[pl.ds(u, 1)][0],
                          v1, v2)
             if score_only:
-                @pl.when(d == D - 1)
+                @pl.when(d == d_last_ref[0])
                 def _():
                     out_ref[0] = val
             else:
@@ -495,11 +498,20 @@ def _affine_kernel(D: int, G: int, S: int, params, SUB: int,
     return kernel
 
 
-def _pick_chunk(D: int, S: int, Ppad: int, score_only: bool,
+def _floor_pow2(x: int) -> int:
+    p = 1
+    while p * 2 <= x:
+        p *= 2
+    return p
+
+
+def _pick_chunk(S: int, Ppad: int, score_only: bool,
                 interpret: bool) -> int:
     """Diagonals per grid step, sized to keep pipelined VMEM blocks small
     (~16 MB/core budget): in-flight = 2*(mu blocks) + 2*(out block).
-    Interpret mode (CPU tests) keeps G=1 — unrolling only pays on TPU."""
+    Restricted to powers of two so G always divides the bucketed diagonal
+    count (_bucket_D).  Interpret mode (CPU tests) keeps G=1 — unrolling
+    only pays on TPU."""
     if interpret:
         return 1
     W = 2 * S + 1
@@ -507,73 +519,108 @@ def _pick_chunk(D: int, S: int, Ppad: int, score_only: bool,
     out_bytes = 4 if score_only else slab_bytes    # per diagonal
     per_diag = 2 * (W * W * Ppad * 4 + Ppad * 4 + out_bytes)
     budget = 6 * 1024 * 1024
-    G = max(1, min(16, budget // max(per_diag, 1)))
-    return int(min(G, max(1, D)))
+    return _floor_pow2(max(1, min(16, budget // max(per_diag, 1))))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
-def _affine_pallas(mu1d, mu2d, n, m, max_shift, params, score_only,
+def _pick_chunk_nonaffine(S: int, Ppad: int, score_only: bool,
+                          interpret: bool) -> int:
+    """Non-affine variant of :func:`_pick_chunk` (slabs have no state
+    axis, so the out block is Q x smaller)."""
+    if interpret:
+        return 1
+    W = 2 * S + 1
+    slab_bytes = W * W * Ppad * 4
+    out_bytes = 4 if score_only else slab_bytes
+    per_diag = 2 * (W * W * Ppad * 4 + Ppad * 4 + out_bytes)
+    return _floor_pow2(max(1, min(16, (6 * 1024 * 1024) // per_diag)))
+
+
+# Bucket granularity for the diagonal count: compiled programs are keyed
+# on the padded D, so all pairs whose n+m+1 round up to the same bucket
+# share one Mosaic compile.  16-diagonal quanta in interpret mode keep the
+# CPU test tier fast while still exercising the garbage-tail path.
+_D_QUANTUM_TPU = 128
+_D_QUANTUM_INTERPRET = 16
+
+
+def _bucket_D(D: int, G: int, interpret: bool) -> int:
+    q = _D_QUANTUM_INTERPRET if interpret else _D_QUANTUM_TPU
+    q = max(q, G)            # G is a power of two <= 128, so G | q
+    return _round_up(D, q)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _affine_pallas(mu1d, mu2d, d_last, max_shift, params, score_only,
                    interpret):
+    """mu1d: [D_pad, Ppad]; mu2d: [D_pad, W, W, Ppad]; d_last: [1] int32
+    (true final diagonal n+m).  D_pad is the bucketed diagonal count
+    (a multiple of the chunk G), so the compile key depends only on the
+    bucket, never the exact pair lengths."""
     S = max_shift
     W = 2 * S + 1
     Q = N_STATES
-    D = n + m + 1
+    D_pad = mu1d.shape[0]
     Ppad = mu1d.shape[1]
     SUB = Ppad // LANES
-    G = _pick_chunk(D, S, Ppad, score_only, interpret)
-    Dg = -(-D // G)
-    D_pad = Dg * G
+    G = _pick_chunk(S, Ppad, score_only, interpret)
+    Dg = D_pad // G
 
-    mu1t = mu1d.reshape(mu1d.shape[0], SUB, LANES)
-    mu2t = mu2d.reshape(mu2d.shape[0], W, W, SUB, LANES)
-    if D_pad > D:
-        mu1t = jnp.pad(mu1t, ((0, D_pad - D), (0, 0), (0, 0)))
-        mu2t = jnp.pad(mu2t, ((0, D_pad - D),) + ((0, 0),) * 4)
-    kernel = _affine_kernel(D, G, S, params, SUB, score_only)
+    mu1t = mu1d.reshape(D_pad, SUB, LANES)
+    mu2t = mu2d.reshape(D_pad, W, W, SUB, LANES)
+    kernel = _affine_kernel(G, S, params, SUB, score_only)
     if score_only:
         out_shape = jax.ShapeDtypeStruct((1, Q, W, W, SUB, LANES),
                                          jnp.int32)
         out_specs = pl.BlockSpec((1, Q, W, W, SUB, LANES),
-                                 lambda g: (0, 0, 0, 0, 0, 0),
+                                 lambda g, dl: (0, 0, 0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
         out_shape = jax.ShapeDtypeStruct((D_pad, Q, W, W, SUB, LANES),
                                          jnp.int32)
         out_specs = pl.BlockSpec((G, Q, W, W, SUB, LANES),
-                                 lambda g: (g, 0, 0, 0, 0, 0),
+                                 lambda g, dl: (g, 0, 0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
 
     slab = pltpu.VMEM((Q, W, W, SUB, LANES), jnp.int32)
-    ys = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(Dg,),
         in_specs=[
-            pl.BlockSpec((G, SUB, LANES), lambda g: (g, 0, 0),
+            pl.BlockSpec((G, SUB, LANES), lambda g, dl: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, W, W, SUB, LANES), lambda g: (g, 0, 0, 0, 0),
+            pl.BlockSpec((G, W, W, SUB, LANES),
+                         lambda g, dl: (g, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
-        out_shape=out_shape,
         scratch_shapes=[slab, slab],
+    )
+    ys = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(mu1t, mu2t)
+    )(d_last, mu1t, mu2t)
     return ys.reshape(ys.shape[0], Q, W, W, SUB * LANES)
 
 
-def _diag_mu_tables_plast(mu1: np.ndarray, mu2: np.ndarray, S: int):
+def _diag_mu_tables_plast(mu1: np.ndarray, mu2: np.ndarray, S: int,
+                          D_pad: int | None = None):
     """Diagonal-layout mu tables with the lattice row LAST (lane axis).
 
     MU1D[d, i] = mu1[i, d-i]; MU2D[d, sk, sl, i] = mu2[i+sk-S, (d-i)+sl-S];
-    0 out of range (only ever read by masked-out cases).
+    0 out of range (only ever read by masked-out cases).  ``D_pad``
+    (>= n+m+1) pads the diagonal axis to a bucketed count so the kernel's
+    compile key is shared across input lengths.
     """
     n = mu1.shape[0] - 1
     m = mu1.shape[1] - 1
     W = 2 * S + 1
-    D = n + m + 1
+    D = D_pad if D_pad is not None else n + m + 1
+
     Ppad = _round_up(n + 1, LANES)
 
     d_ = np.arange(D)[:, None]
@@ -593,10 +640,11 @@ def _diag_mu_tables_plast(mu1: np.ndarray, mu2: np.ndarray, S: int):
     return jnp.asarray(MU1D), jnp.asarray(MU2D)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1,))
 def _slab_score(last, S, n):
-    """Optimal score from the final-diagonal slab [1, Q, W, W, Ppad]."""
-    return jnp.max(last[0, :, S, S, n])
+    """Optimal score from the final-diagonal slab [1, Q, W, W, Ppad];
+    ``n`` is a runtime scalar (no recompile across lengths)."""
+    return jnp.max(jnp.take(last[0, :, S, S, :], n, axis=-1))
 
 
 def _affine_batched_kernel(S: int, params, SUB: int):
@@ -692,19 +740,34 @@ def _on_tpu() -> bool:
         return False
 
 
+def _prep_single(mu1, mu2, S, score_only, interpret, affine):
+    """Bucketed diagonal tables + d_last scalar for the single-pair
+    kernels (compile key = (Ppad bucket, D bucket, S, params) only)."""
+    mu1 = np.asarray(mu1)
+    mu2 = np.asarray(mu2)
+    n = mu1.shape[0] - 1
+    m = mu1.shape[1] - 1
+    Ppad = _round_up(n + 1, LANES)
+    pick = _pick_chunk if affine else _pick_chunk_nonaffine
+    G = pick(S, Ppad, score_only, interpret)
+    D_pad = _bucket_D(n + m + 1, G, interpret)
+    mu1d, mu2d = _diag_mu_tables_plast(mu1, mu2, S, D_pad)
+    d_last = jnp.asarray([n + m], dtype=jnp.int32)
+    return mu1d, mu2d, d_last, n, m
+
+
 def fill_affine_device(mu1, mu2, max_shift, beta, gamma, delta, *,
                        interpret=None):
     """Affine Pallas fill; returns a DeviceBand (p_last layout)."""
     from .band import DeviceBand
 
-    n = mu1.shape[0] - 1
-    m = mu1.shape[1] - 1
     S = max_shift
     if interpret is None:
         interpret = not _on_tpu()
-    mu1d, mu2d = _diag_mu_tables_plast(np.asarray(mu1), np.asarray(mu2), S)
+    mu1d, mu2d, d_last, n, m = _prep_single(mu1, mu2, S, False, interpret,
+                                            True)
     ys = _affine_pallas(
-        mu1d, mu2d, n, m, S, (beta, gamma, delta), False, interpret
+        mu1d, mu2d, d_last, S, (beta, gamma, delta), False, interpret
     )
     return DeviceBand(ys=ys, n=n, m=m, max_shift=S, affine=True,
                       p_last=True)
@@ -713,16 +776,15 @@ def fill_affine_device(mu1, mu2, max_shift, beta, gamma, delta, *,
 def affine_score(mu1, mu2, max_shift, beta, gamma, delta, *,
                  interpret=None):
     """Affine optimal score via the Pallas kernel (score-only path)."""
-    n = mu1.shape[0] - 1
-    m = mu1.shape[1] - 1
     S = max_shift
     if interpret is None:
         interpret = not _on_tpu()
-    mu1d, mu2d = _diag_mu_tables_plast(np.asarray(mu1), np.asarray(mu2), S)
+    mu1d, mu2d, d_last, n, m = _prep_single(mu1, mu2, S, True, interpret,
+                                            True)
     last = _affine_pallas(
-        mu1d, mu2d, n, m, S, (beta, gamma, delta), True, interpret
+        mu1d, mu2d, d_last, S, (beta, gamma, delta), True, interpret
     )
-    return int(jax.device_get(_slab_score(last, S, n)))
+    return int(jax.device_get(_slab_score(last, S, jnp.int32(n))))
 
 
 def affine_scan(mu1d, mu2d, n, m, max_shift, params, score_only=False):
@@ -734,13 +796,16 @@ def affine_scan(mu1d, mu2d, n, m, max_shift, params, score_only=False):
     D, P = mu1d.shape
     Ppad = _round_up(P, LANES)
     W = 2 * max_shift + 1
-    m1 = np.zeros((D, Ppad), dtype=np.int32)
-    m1[:, :P] = mu1d
-    m2 = np.zeros((D, W, W, Ppad), dtype=np.int32)
-    m2[:, :, :, :P] = mu2d.transpose(0, 2, 3, 1)
     interpret = not _on_tpu()
+    G = _pick_chunk(max_shift, Ppad, score_only, interpret)
+    D_pad = _bucket_D(D, G, interpret)
+    m1 = np.zeros((D_pad, Ppad), dtype=np.int32)
+    m1[:D, :P] = mu1d
+    m2 = np.zeros((D_pad, W, W, Ppad), dtype=np.int32)
+    m2[:D, :, :, :P] = mu2d.transpose(0, 2, 3, 1)
+    d_last = jnp.asarray([n + m], dtype=jnp.int32)
     ys = _affine_pallas(
-        jnp.asarray(m1), jnp.asarray(m2), n, m, max_shift, tuple(params),
+        jnp.asarray(m1), jnp.asarray(m2), d_last, max_shift, tuple(params),
         score_only, interpret,
     )
     ys = jnp.moveaxis(ys, -1, 2)[:, :, :P]       # [D?, Q, P, W, W]

@@ -131,3 +131,26 @@ def test_pallas_engine_nonaffine_golden_rna():
     lines = list(ba.decode_trace())
     assert lines[0].split()[-1] == "GCGGGGGAUAUCCCCAUCG"
     assert lines[1].split()[-1] == "--GGGGAUAUCCCC-AUCG"
+
+
+def test_bucketed_compile_key_shared_across_lengths():
+    """Pairs whose diagonal counts fall in the same bucket produce
+    identically-shaped kernel inputs (one Mosaic compile per bucket) and
+    still score bit-exactly vs the oracle."""
+    from bialign_tpu.ops import pallas_dp, reference_dp
+
+    rng = np.random.default_rng(7)
+    shapes = []
+    for (n, m) in [(9, 8), (11, 10), (12, 9)]:   # all bucket to the same D_pad
+        mu1 = rng.integers(-300, 400, (n + 1, m + 1)).astype(np.int64)
+        mu2 = rng.integers(0, 500, (n + 1, m + 1)).astype(np.int64)
+        m1d, m2d, d_last, nn, mm = pallas_dp._prep_single(
+            mu1, mu2, 1, True, True, True
+        )
+        shapes.append((m1d.shape, m2d.shape))
+        got = pallas_dp.affine_score(mu1, mu2, 1, -150, -50, -120,
+                                     interpret=True)
+        H = reference_dp.fill_affine(mu1, mu2, 1, -150, -50, -120)
+        want = reference_dp.affine_score_from_band(H, nn, mm, 1)
+        assert got == want, (n, m)
+    assert len(set(shapes)) == 1, shapes
