@@ -429,10 +429,10 @@ def fill_nonaffine_device(mu1, mu2, max_shift, gamma, delta, *,
     S = max_shift
     if interpret is None:
         interpret = not _on_tpu()
-    mu1d, mu2d, d_last, n, m = _prep_single(mu1, mu2, S, False, interpret,
-                                            False)
-    ys = _nonaffine_pallas(
-        mu1d, mu2d, d_last, S, (gamma, delta), False, interpret
+    p1, p2, d_last, D_pad, n, m = _prep_single(mu1, mu2, S, False,
+                                               interpret, False)
+    ys = _nonaffine_pallas_dense(
+        p1, p2, d_last, D_pad, S, (gamma, delta), False, interpret
     )
     return DeviceBand(ys=ys, n=n, m=m, max_shift=S, affine=False,
                       p_last=True)
@@ -443,10 +443,10 @@ def nonaffine_score(mu1, mu2, max_shift, gamma, delta, *, interpret=None):
     S = max_shift
     if interpret is None:
         interpret = not _on_tpu()
-    mu1d, mu2d, d_last, n, m = _prep_single(mu1, mu2, S, True, interpret,
-                                            False)
-    last = _nonaffine_pallas(
-        mu1d, mu2d, d_last, S, (gamma, delta), True, interpret
+    p1, p2, d_last, D_pad, n, m = _prep_single(mu1, mu2, S, True,
+                                               interpret, False)
+    last = _nonaffine_pallas_dense(
+        p1, p2, d_last, D_pad, S, (gamma, delta), True, interpret
     )
     return int(jax.device_get(
         jnp.take(last[0, S, S, :], jnp.int32(n), axis=-1)
@@ -640,6 +640,56 @@ def _diag_mu_tables_plast(mu1: np.ndarray, mu2: np.ndarray, S: int,
     return jnp.asarray(MU1D), jnp.asarray(MU2D)
 
 
+def _diag_tables_device(mu1p, mu2p, S: int, D_pad: int):
+    """On-device diagonal-layout tables (p_last) from dense padded mu
+    tables (traced; call inside jit).
+
+    ``mu1p``/``mu2p``: [Ppad, Mp] int32, zero-padded beyond the true
+    (n+1, m+1) region.  Returns MU1D [D_pad, Ppad] and MU2D
+    [D_pad, W, W, Ppad] with the same semantics as
+    :func:`_diag_mu_tables_plast` (zeros out of range — only ever read
+    by masked-out cases).  Building on device replaces an O(D*W^2*P)
+    host-side numpy build + transfer per pair with a dense [Ppad, Mp]
+    transfer and two XLA gathers.
+    """
+    Ppad, Mp = mu1p.shape
+    M = Mp - 1
+    W = 2 * S + 1
+    d_ = jnp.arange(D_pad)[:, None]
+    i_ = jnp.arange(Ppad)[None, :]
+    j_ = d_ - i_
+    ok = (j_ >= 0) & (j_ <= M)
+    i_b = jnp.broadcast_to(i_, (D_pad, Ppad))
+    mu1d = jnp.where(ok, mu1p[i_b, jnp.clip(j_, 0, M)], 0)
+
+    k_ = i_[:, None, None, :] + jnp.arange(W)[None, :, None, None] - S
+    l_ = j_[:, None, None, :] + jnp.arange(W)[None, None, :, None] - S
+    k_b, l_b = jnp.broadcast_arrays(k_, l_)
+    ok2 = (k_b >= 0) & (k_b < Ppad) & (l_b >= 0) & (l_b <= M)
+    mu2d = jnp.where(
+        ok2, mu2p[jnp.clip(k_b, 0, Ppad - 1), jnp.clip(l_b, 0, M)], 0
+    )
+    return mu1d.astype(jnp.int32), mu2d.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _affine_pallas_dense(mu1p, mu2p, d_last, D_pad, S, params, score_only,
+                         interpret):
+    """Dense-input wrapper: diagonal tables are built on device, then the
+    kernel runs — one dispatch, no host table build."""
+    mu1d, mu2d = _diag_tables_device(mu1p, mu2p, S, D_pad)
+    return _affine_pallas(mu1d, mu2d, d_last, S, params, score_only,
+                          interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _nonaffine_pallas_dense(mu1p, mu2p, d_last, D_pad, S, params,
+                            score_only, interpret):
+    mu1d, mu2d = _diag_tables_device(mu1p, mu2p, S, D_pad)
+    return _nonaffine_pallas(mu1d, mu2d, d_last, S, params, score_only,
+                             interpret)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _slab_score(last, S, n):
     """Optimal score from the final-diagonal slab [1, Q, W, W, Ppad];
@@ -685,6 +735,21 @@ def _affine_batched_kernel(S: int, params, SUB: int):
             out_ref[0] = jnp.full((8, LANES), score, jnp.int32)
 
     return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _affine_pallas_batched_dense(mu1p, mu2p, ns, ms, D, max_shift, params):
+    """Scores for a same-bucket batch from dense padded mu tables.
+
+    mu1p/mu2p: [B, Ppad, Mp] int32 (zero-padded); ns/ms: [B] true
+    lengths; ``D`` = the bucket's diagonal count (N+M+1).  Diagonal
+    tables are built on device (vmapped :func:`_diag_tables_device`) —
+    the host ships only the small dense tables.
+    """
+    S = max_shift
+    build = functools.partial(_diag_tables_device, S=S, D_pad=D)
+    mu1d, mu2d = jax.vmap(build)(mu1p, mu2p)
+    return _affine_pallas_batched(mu1d, mu2d, ns, ms, S, params)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
@@ -741,19 +806,26 @@ def _on_tpu() -> bool:
 
 
 def _prep_single(mu1, mu2, S, score_only, interpret, affine):
-    """Bucketed diagonal tables + d_last scalar for the single-pair
-    kernels (compile key = (Ppad bucket, D bucket, S, params) only)."""
+    """Dense padded mu tables + bucketed D + d_last for the single-pair
+    kernels.  The compile key is (Ppad bucket, Mpad bucket, D bucket, S,
+    params) — never the exact pair lengths; diagonal tables are built on
+    device (:func:`_diag_tables_device`)."""
     mu1 = np.asarray(mu1)
     mu2 = np.asarray(mu2)
     n = mu1.shape[0] - 1
     m = mu1.shape[1] - 1
+    q = _D_QUANTUM_INTERPRET if interpret else _D_QUANTUM_TPU
     Ppad = _round_up(n + 1, LANES)
+    Mpad = _round_up(m + 1, q)
     pick = _pick_chunk if affine else _pick_chunk_nonaffine
     G = pick(S, Ppad, score_only, interpret)
     D_pad = _bucket_D(n + m + 1, G, interpret)
-    mu1d, mu2d = _diag_mu_tables_plast(mu1, mu2, S, D_pad)
+    p1 = np.zeros((Ppad, Mpad), dtype=np.int32)
+    p1[: n + 1, : m + 1] = mu1
+    p2 = np.zeros((Ppad, Mpad), dtype=np.int32)
+    p2[: n + 1, : m + 1] = mu2
     d_last = jnp.asarray([n + m], dtype=jnp.int32)
-    return mu1d, mu2d, d_last, n, m
+    return jnp.asarray(p1), jnp.asarray(p2), d_last, D_pad, n, m
 
 
 def fill_affine_device(mu1, mu2, max_shift, beta, gamma, delta, *,
@@ -764,10 +836,10 @@ def fill_affine_device(mu1, mu2, max_shift, beta, gamma, delta, *,
     S = max_shift
     if interpret is None:
         interpret = not _on_tpu()
-    mu1d, mu2d, d_last, n, m = _prep_single(mu1, mu2, S, False, interpret,
-                                            True)
-    ys = _affine_pallas(
-        mu1d, mu2d, d_last, S, (beta, gamma, delta), False, interpret
+    p1, p2, d_last, D_pad, n, m = _prep_single(mu1, mu2, S, False,
+                                               interpret, True)
+    ys = _affine_pallas_dense(
+        p1, p2, d_last, D_pad, S, (beta, gamma, delta), False, interpret
     )
     return DeviceBand(ys=ys, n=n, m=m, max_shift=S, affine=True,
                       p_last=True)
@@ -779,10 +851,10 @@ def affine_score(mu1, mu2, max_shift, beta, gamma, delta, *,
     S = max_shift
     if interpret is None:
         interpret = not _on_tpu()
-    mu1d, mu2d, d_last, n, m = _prep_single(mu1, mu2, S, True, interpret,
-                                            True)
-    last = _affine_pallas(
-        mu1d, mu2d, d_last, S, (beta, gamma, delta), True, interpret
+    p1, p2, d_last, D_pad, n, m = _prep_single(mu1, mu2, S, True,
+                                               interpret, True)
+    last = _affine_pallas_dense(
+        p1, p2, d_last, D_pad, S, (beta, gamma, delta), True, interpret
     )
     return int(jax.device_get(_slab_score(last, S, jnp.int32(n))))
 

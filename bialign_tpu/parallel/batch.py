@@ -61,13 +61,12 @@ class Bucket:
     m: list = field(default_factory=list)
 
 
-def make_buckets(tables, max_shift: int, bucket_quantum: int = 64, *,
-                 p_last: bool = False):
-    """Group (mu1, mu2) pairs into padded-shape buckets.
+def make_buckets(tables, max_shift: int, bucket_quantum: int = 64):
+    """Group (mu1, mu2) pairs into padded-shape buckets of XLA-layout
+    diagonal tables.
 
     ``tables``: iterable of (mu1, mu2) int32 arrays (shape (n+1, m+1)).
-    Returns a dict keyed by (N, M).  With ``p_last`` the diagonal tables
-    use the Pallas layout (lattice row last, lane-padded).
+    Returns a dict keyed by (N, M).
     """
     buckets: dict = {}
     for idx, (mu1, mu2) in enumerate(tables):
@@ -78,15 +77,36 @@ def make_buckets(tables, max_shift: int, bucket_quantum: int = 64, *,
         b = buckets.setdefault((N, M), Bucket(N, M))
         p1 = pad_table(np.asarray(mu1), N, M)
         p2 = pad_table(np.asarray(mu2), N, M)
-        if p_last:
-            from ..ops import pallas_dp
-
-            m1d, m2d = pallas_dp._diag_mu_tables_plast(p1, p2, max_shift)
-        else:
-            m1d, m2d = xla_dp._diag_mu_tables(p1, p2, max_shift)
+        m1d, m2d = xla_dp._diag_mu_tables(p1, p2, max_shift)
         b.indices.append(idx)
         b.mu1d.append(np.asarray(m1d))
         b.mu2d.append(np.asarray(m2d))
+        b.n.append(n)
+        b.m.append(m)
+    return buckets
+
+
+def make_buckets_dense(tables, bucket_quantum: int = 64):
+    """Group pairs into buckets of DENSE zero-padded tables for the
+    Pallas batched path (diagonal tables are built on device, so the
+    host only pads — no O(D*W^2*P) per-pair numpy work).
+
+    Tables are padded to [Ppad, M+1] with Ppad the lane-rounded N+1;
+    ``Bucket.mu1d``/``mu2d`` hold the dense arrays in this mode.
+    """
+    from ..ops.pallas_dp import LANES, _round_up
+
+    buckets: dict = {}
+    for idx, (mu1, mu2) in enumerate(tables):
+        n = mu1.shape[0] - 1
+        m = mu1.shape[1] - 1
+        N = quantize(n, bucket_quantum)
+        M = quantize(m, bucket_quantum)
+        b = buckets.setdefault((N, M), Bucket(N, M))
+        Ppad = _round_up(N + 1, LANES)
+        b.mu1d.append(pad_table(np.asarray(mu1), Ppad - 1, M))
+        b.mu2d.append(pad_table(np.asarray(mu2), Ppad - 1, M))
+        b.indices.append(idx)
         b.n.append(n)
         b.m.append(m)
     return buckets
@@ -127,18 +147,19 @@ def _use_pallas_batched(affine: bool, mesh) -> bool:
         return False
 
 
-def _pallas_scores_sharded(mu1d, mu2d, ns, ms, max_shift, params, mesh):
+def _pallas_scores_sharded(mu1p, mu2p, ns, ms, D, max_shift, params, mesh):
     """shard_map of the batched Pallas kernel over the "data" mesh axis.
 
-    Each device runs the kernel on its local slice of the bucket's batch
-    axis; the output sharding reassembles the scores (one tiny gather).
-    The caller pads the batch to a multiple of the axis size.
+    Each device builds the diagonal tables for its local slice of the
+    bucket's batch axis and runs the kernel on it; the output sharding
+    reassembles the scores (one tiny gather).  The caller pads the batch
+    to a multiple of the axis size.
     """
     from ..ops import pallas_dp
 
     def shard_fn(m1, m2, nn, mm):
-        return pallas_dp._affine_pallas_batched(
-            m1, m2, nn, mm, max_shift, tuple(params)
+        return pallas_dp._affine_pallas_batched_dense(
+            m1, m2, nn, mm, D, max_shift, tuple(params)
         )
 
     fn = jax.shard_map(
@@ -151,7 +172,7 @@ def _pallas_scores_sharded(mu1d, mu2d, ns, ms, max_shift, params, mesh):
     )
     args = [
         _device_put_sharded(jnp.asarray(x), mesh)
-        for x in (mu1d, mu2d, ns, ms)
+        for x in (mu1p, mu2p, ns, ms)
     ]
     return np.asarray(jax.device_get(jax.jit(fn)(*args)))
 
@@ -183,8 +204,7 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
     if use_pallas:
         from ..ops import pallas_dp
 
-        buckets = make_buckets(tables, max_shift, bucket_quantum,
-                               p_last=True)
+        buckets = make_buckets_dense(tables, bucket_quantum)
         out = np.zeros(len(tables), dtype=np.int64)
         for (N, M), b in buckets.items():
             B = len(b.indices)
@@ -193,20 +213,21 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
                 ds = mesh.shape["data"]
                 Bp = ((B + ds - 1) // ds) * ds
             pad = Bp - B
-            mu1d = np.stack(b.mu1d + [b.mu1d[-1]] * pad)
-            mu2d = np.stack(b.mu2d + [b.mu2d[-1]] * pad)
+            D = N + M + 1
+            mu1p = np.stack(b.mu1d + [b.mu1d[-1]] * pad)
+            mu2p = np.stack(b.mu2d + [b.mu2d[-1]] * pad)
             ns = np.asarray(b.n + [b.n[-1]] * pad, dtype=np.int32)
             ms = np.asarray(b.m + [b.m[-1]] * pad, dtype=np.int32)
             if mesh is not None:
                 scores = _pallas_scores_sharded(
-                    mu1d, mu2d, ns, ms, max_shift, params, mesh
+                    mu1p, mu2p, ns, ms, D, max_shift, params, mesh
                 )
             else:
                 scores = np.asarray(jax.device_get(
-                    pallas_dp._affine_pallas_batched(
-                        jnp.asarray(mu1d), jnp.asarray(mu2d),
+                    pallas_dp._affine_pallas_batched_dense(
+                        jnp.asarray(mu1p), jnp.asarray(mu2p),
                         jnp.asarray(ns), jnp.asarray(ms),
-                        max_shift, tuple(params),
+                        D, max_shift, tuple(params),
                     )
                 ))
             for pos, idx in enumerate(b.indices):

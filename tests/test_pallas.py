@@ -144,10 +144,10 @@ def test_bucketed_compile_key_shared_across_lengths():
     for (n, m) in [(9, 8), (11, 10), (12, 9)]:   # all bucket to the same D_pad
         mu1 = rng.integers(-300, 400, (n + 1, m + 1)).astype(np.int64)
         mu2 = rng.integers(0, 500, (n + 1, m + 1)).astype(np.int64)
-        m1d, m2d, d_last, nn, mm = pallas_dp._prep_single(
+        p1, p2, d_last, D_pad, nn, mm = pallas_dp._prep_single(
             mu1, mu2, 1, True, True, True
         )
-        shapes.append((m1d.shape, m2d.shape))
+        shapes.append((p1.shape, p2.shape, D_pad))
         got = pallas_dp.affine_score(mu1, mu2, 1, -150, -50, -120,
                                      interpret=True)
         H = reference_dp.fill_affine(mu1, mu2, 1, -150, -50, -120)
