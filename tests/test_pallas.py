@@ -154,3 +154,18 @@ def test_bucketed_compile_key_shared_across_lengths():
         want = reference_dp.affine_score_from_band(H, nn, mm, 1)
         assert got == want, (n, m)
     assert len(set(shapes)) == 1, shapes
+
+
+def test_prewarm_compiles_buckets():
+    """prewarm() touches every requested bucket/mode once (interpret)."""
+    from bialign_tpu.utils.warmup import prewarm
+
+    timings = prewarm(
+        [(10, 9), (12, 11)],   # same bucket -> deduplicated
+        params=dict(gap_opening_cost=-150, gap_cost=-50, shift_cost=-120),
+        max_shift=1, interpret=True,
+    )
+    descs = [d for d, _ in timings]
+    assert len(descs) == 2          # score + band for the shared bucket
+    assert any("score" in d for d in descs)
+    assert any("band" in d for d in descs)
