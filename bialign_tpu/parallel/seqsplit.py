@@ -16,7 +16,14 @@ Design (scaling-book recipe — mesh, shardings, XLA collectives over ICI):
   a seqA advance, cases pyx:255-296), so each scan step exchanges a ONE-ROW
   halo ``[Q, 1, W, W]`` with the right neighbor via ``lax.ppermute`` —
   a nearest-neighbor ICI transfer of ~Q*W*W ints (~324 B at max_shift 1)
-  per carried slab per diagonal, fully overlappable with the chunk math;
+  per carried slab per diagonal.  The per-diagonal critical path is
+  therefore max(chunk math, halo latency); as written the step consumes
+  the halo-extended slab whole, so overlap of the transfer with the
+  interior-row math is left to XLA's latency-hiding scheduler and has
+  NOT been measured on real multi-chip ICI (this container exposes one
+  chip; the 8-device CPU mesh in tests validates bit-exactness only).
+  At reference scales the halo is hundreds of bytes against ~10^5 int
+  ops per shard per diagonal, so the chunk math should dominate;
 * each shard evaluates the shared step function
   (:func:`bialign_tpu.ops.xla_dp._build_affine_step`) on its halo-extended
   chunk with the correct *global* row offsets (``i_base``), so every cell
