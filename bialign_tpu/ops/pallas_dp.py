@@ -798,6 +798,92 @@ def _affine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params):
     return out[:, 0, 0]
 
 
+def _nonaffine_batched_kernel(S: int, params, SUB: int):
+    """Batched score-only non-affine kernel: grid (B, D), per-pair true
+    lengths in SMEM via scalar prefetch (same pattern as the affine
+    batched kernel; slabs carry no state axis)."""
+    W = 2 * S + 1
+    update = _make_nonaffine_update(S, params, SUB)
+
+    def kernel(ns_ref, ms_ref, mu1_ref, mu2_ref, out_ref, vm1_ref,
+               vm2_ref):
+        b = pl.program_id(0)
+        d = pl.program_id(1)
+
+        @pl.when(d == 0)
+        def _():
+            vm1_ref[:] = jnp.full((W, W, SUB, LANES), INVALID, jnp.int32)
+            vm2_ref[:] = jnp.full((W, W, SUB, LANES), INVALID, jnp.int32)
+            out_ref[0] = jnp.full((8, LANES), NEG_INF, jnp.int32)
+
+        val = update(d, mu1_ref[0], mu2_ref[0], vm1_ref[:], vm2_ref[:])
+        vm2_ref[:] = vm1_ref[:]
+        vm1_ref[:] = val
+
+        n = ns_ref[b]
+        m = ms_ref[b]
+
+        @pl.when(d == n + m)
+        def _():
+            sub_i = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+            hit = (sub_i * LANES + lane_i) == n
+            score = jnp.max(jnp.where(hit, val[S, S], INVALID))
+            out_ref[0] = jnp.full((8, LANES), score, jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _nonaffine_pallas_batched_dense(mu1p, mu2p, ns, ms, D, max_shift,
+                                    params):
+    """Non-affine twin of :func:`_affine_pallas_batched_dense`."""
+    S = max_shift
+    build = functools.partial(_diag_tables_device, S=S, D_pad=D)
+    mu1d, mu2d = jax.vmap(build)(mu1p, mu2p)
+    return _nonaffine_pallas_batched(mu1d, mu2d, ns, ms, S, params)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _nonaffine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params):
+    """Non-affine twin of :func:`_affine_pallas_batched`."""
+    S = max_shift
+    W = 2 * S + 1
+    B, D = mu1d.shape[0], mu1d.shape[1]
+    Ppad = mu1d.shape[-1]
+    SUB = Ppad // LANES
+    mu1f = mu1d.reshape(B * D, SUB, LANES)
+    mu2f = mu2d.reshape(B * D, W, W, SUB, LANES)
+
+    kernel = _nonaffine_batched_kernel(S, params, SUB)
+    slab = pltpu.VMEM((W, W, SUB, LANES), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, D),
+        in_specs=[
+            pl.BlockSpec((1, SUB, LANES),
+                         lambda b, d, ns, ms: (b * D + d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, W, SUB, LANES),
+                         lambda b, d, ns, ms: (b * D + d, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, LANES), lambda b, d, ns, ms: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[slab, slab],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 8, LANES), jnp.int32),
+        interpret=not _on_tpu(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(ns, ms, mu1f, mu2f)
+    return out[:, 0, 0]
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"

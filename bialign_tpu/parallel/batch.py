@@ -136,9 +136,7 @@ def _device_put_sharded(arr, mesh):
 
 
 def _use_pallas_batched(affine: bool, mesh) -> bool:
-    """Pallas batched path: affine on a TPU (single-device or mesh)."""
-    if not affine:
-        return False
+    """Pallas batched path: on a TPU (single-device or mesh)."""
     try:
         import jax
 
@@ -147,7 +145,8 @@ def _use_pallas_batched(affine: bool, mesh) -> bool:
         return False
 
 
-def _pallas_scores_sharded(mu1p, mu2p, ns, ms, D, max_shift, params, mesh):
+def _pallas_scores_sharded(mu1p, mu2p, ns, ms, D, max_shift, params, mesh,
+                           affine):
     """shard_map of the batched Pallas kernel over the "data" mesh axis.
 
     Each device builds the diagonal tables for its local slice of the
@@ -157,10 +156,11 @@ def _pallas_scores_sharded(mu1p, mu2p, ns, ms, D, max_shift, params, mesh):
     """
     from ..ops import pallas_dp
 
+    kern = (pallas_dp._affine_pallas_batched_dense if affine
+            else pallas_dp._nonaffine_pallas_batched_dense)
+
     def shard_fn(m1, m2, nn, mm):
-        return pallas_dp._affine_pallas_batched_dense(
-            m1, m2, nn, mm, D, max_shift, tuple(params)
-        )
+        return kern(m1, m2, nn, mm, D, max_shift, tuple(params))
 
     fn = jax.shard_map(
         shard_fn,
@@ -186,17 +186,12 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
     With ``mesh``, every bucket's batch axis is sharded over mesh axis
     "data" (pad the batch to a multiple of the axis size).
 
-    ``engine``: "auto" (Pallas batched kernel for affine on TPU, vmapped
-    XLA scan otherwise), "pallas", or "xla".
+    ``engine``: "auto" (Pallas batched kernel on TPU, vmapped XLA scan
+    otherwise), "pallas", or "xla".
     """
     import jax.numpy as jnp
 
     tables = list(tables)
-    if engine == "pallas" and not affine:
-        raise ValueError(
-            "engine='pallas' batched scoring is affine-only; use "
-            "engine='auto'/'xla' for non-affine batches"
-        )
     use_pallas = (
         engine == "pallas"
         or (engine == "auto" and _use_pallas_batched(affine, mesh))
@@ -220,11 +215,13 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
             ms = np.asarray(b.m + [b.m[-1]] * pad, dtype=np.int32)
             if mesh is not None:
                 scores = _pallas_scores_sharded(
-                    mu1p, mu2p, ns, ms, D, max_shift, params, mesh
+                    mu1p, mu2p, ns, ms, D, max_shift, params, mesh, affine
                 )
             else:
+                kern = (pallas_dp._affine_pallas_batched_dense if affine
+                        else pallas_dp._nonaffine_pallas_batched_dense)
                 scores = np.asarray(jax.device_get(
-                    pallas_dp._affine_pallas_batched_dense(
+                    kern(
                         jnp.asarray(mu1p), jnp.asarray(mu2p),
                         jnp.asarray(ns), jnp.asarray(ms),
                         D, max_shift, tuple(params),

@@ -97,8 +97,24 @@ def test_sharded_pallas_engine_matches_oracle(pairs):
     assert (got == want).all()
 
 
-def test_batched_pallas_nonaffine_raises(pairs):
-    with pytest.raises(ValueError, match="affine-only"):
-        pbatch.score_batch(
-            pairs, 1, (-200, -250), affine=False, engine="pallas"
-        )
+def test_batched_pallas_nonaffine_matches_oracle(pairs):
+    """Non-affine batched Pallas kernel (interpret mode on CPU)."""
+    S, gamma, delta = 1, -200, -250
+    want = _oracle_scores(pairs, S, 0, gamma, delta, False)
+    got = pbatch.score_batch(
+        pairs, S, (gamma, delta), affine=False, bucket_quantum=8,
+        engine="pallas",
+    )
+    assert (got == want).all()
+
+
+def test_sharded_pallas_nonaffine_matches_oracle(pairs):
+    S, gamma, delta = 2, -200, -250
+    devices = np.array(jax.devices())
+    mesh = Mesh(devices, ("data",))
+    want = _oracle_scores(pairs, S, 0, gamma, delta, False)
+    got = pbatch.score_batch(
+        pairs, S, (gamma, delta), affine=False, mesh=mesh,
+        bucket_quantum=16, engine="pallas",
+    )
+    assert (got == want).all()
