@@ -16,14 +16,15 @@ Design (scaling-book recipe — mesh, shardings, XLA collectives over ICI):
   a seqA advance, cases pyx:255-296), so each scan step exchanges a ONE-ROW
   halo ``[Q, 1, W, W]`` with the right neighbor via ``lax.ppermute`` —
   a nearest-neighbor ICI transfer of ~Q*W*W ints (~324 B at max_shift 1)
-  per carried slab per diagonal.  The per-diagonal critical path is
-  therefore max(chunk math, halo latency); as written the step consumes
-  the halo-extended slab whole, so overlap of the transfer with the
-  interior-row math is left to XLA's latency-hiding scheduler and has
-  NOT been measured on real multi-chip ICI (this container exposes one
-  chip; the 8-device CPU mesh in tests validates bit-exactness only).
-  At reference scales the halo is hundreds of bytes against ~10^5 int
-  ops per shard per diagonal, so the chunk math should dominate;
+  per carried slab per diagonal.  The step is structured so the transfer
+  can genuinely overlap the math (:func:`_make_shard_step`): the halo is
+  consumed ONLY by a tiny 2-row boundary fixup, while the interior slab
+  update never depends on it — so in the compiled dependency graph the
+  async collective-permute runs in parallel with the O(Pk*W^2*Q*cases)
+  interior work, and the serial per-diagonal critical path is
+  ~max(interior math, halo latency) + fixup.  (This container exposes
+  one chip, so actual ICI timings remain unprofiled; the 8-device CPU
+  mesh tests validate bit-exactness of the overlapped formulation.);
 * each shard evaluates the shared step function
   (:func:`bialign_tpu.ops.xla_dp._build_affine_step`) on its halo-extended
   chunk with the correct *global* row offsets (``i_base``), so every cell
@@ -67,47 +68,91 @@ def _pad_rows(mu1d: np.ndarray, mu2d: np.ndarray, K: int):
     return mu1d, mu2d
 
 
+def _make_shard_step(axis: str, K: int, S: int, params, affine: bool,
+                     Pk: int, W: int):
+    """Halo-overlapped per-diagonal step for one row-shard.
+
+    The only cross-shard dependency of a diagonal is the LAST row of the
+    left neighbor's previous two slabs.  Structuring the step as
+
+    * ``ppermute`` the two one-row halos (issued first),
+    * interior step over the shard's own Pk rows (does NOT read the halo;
+      its row 0, which would need it, is discarded),
+    * a 2-row boundary fixup (halo row + local row 0) that is the ONLY
+      consumer of the transferred halos,
+
+    puts the ICI transfer latency in parallel with the interior slab math
+    in the dependency graph — XLA's scheduler can overlap the async
+    collective-permute with the O(Pk * W^2 * Q * cases) interior work,
+    instead of serializing transfer -> whole-slab step as a halo-
+    concatenated formulation would.  Bit-exact: interior rows >= 1 never
+    read row -1, and the fixup evaluates global rows (idx*Pk - 1, idx*Pk)
+    with the exact step function (i_base arithmetic included).
+
+    Returns (shard_step, invalid_carry, row_ax) with
+    ``shard_step((vm1, vm2), (d, mu1_row, mu2_blk)) -> val``.
+    """
+    Q = N_STATES
+    build = _build_affine_step if affine else _build_nonaffine_step
+    perm = [(k, k + 1) for k in range(K - 1)]
+    idx = lax.axis_index(axis)
+    step_int, _ = build(Pk, S, params, True, i_base=idx * Pk)
+    step_fix, _ = build(2, S, params, True, i_base=idx * Pk - 1)
+
+    shape = (Q, Pk, W, W) if affine else (Pk, W, W)
+    # mark the carry as varying over the mesh axis (shard_map vma typing)
+    invalid = lax.pcast(jnp.full(shape, INVALID, jnp.int32), (axis,),
+                        to="varying")
+    row_ax = 1 if affine else 0
+
+    def halo(v):
+        last = lax.slice_in_dim(v, Pk - 1, Pk, axis=row_ax)
+        h = lax.ppermute(last, axis, perm)     # non-participants: zeros
+        return jnp.where(idx == 0, INVALID, h)
+
+    def shard_step(carry, xs):
+        vm1, vm2 = carry
+        d, mu1_row, mu2_blk = xs
+        h1 = halo(vm1)                         # in flight during step_int
+        h2 = halo(vm2)
+        (vint, _), _ = step_int((vm1, vm2), (d, mu1_row, mu2_blk))
+        vm1f = jnp.concatenate(
+            [h1, lax.slice_in_dim(vm1, 0, 1, axis=row_ax)], axis=row_ax
+        )
+        vm2f = jnp.concatenate(
+            [h2, lax.slice_in_dim(vm2, 0, 1, axis=row_ax)], axis=row_ax
+        )
+        mu1f = jnp.concatenate([jnp.zeros((1,), jnp.int32), mu1_row[:1]])
+        mu2f = jnp.concatenate(
+            [jnp.zeros((1, W, W), jnp.int32), mu2_blk[:1]]
+        )
+        (vfix, _), _ = step_fix((vm1f, vm2f), (d, mu1f, mu2f))
+        row0 = lax.slice_in_dim(vfix, 1, 2, axis=row_ax)
+        return jnp.concatenate(
+            [row0, lax.slice_in_dim(vint, 1, Pk, axis=row_ax)],
+            axis=row_ax,
+        )
+
+    return shard_step, invalid, row_ax
+
+
 def _sharded_scan(mesh: Mesh, axis: str, n: int, m: int, S: int, params,
                   affine: bool):
     """Build the shard_map-ed scoring function over the given mesh axis."""
     K = mesh.shape[axis]
     W = 2 * S + 1
-    Q = N_STATES
-    build = _build_affine_step if affine else _build_nonaffine_step
-    perm = [(k, k + 1) for k in range(K - 1)]
 
     def body(mu1_loc, mu2_loc):
         # mu1_loc: [D, Pk]; mu2_loc: [D, Pk, W, W]
         D, Pk = mu1_loc.shape
         idx = lax.axis_index(axis)
-        # ext slab rows are global [idx*Pk - 1, (idx+1)*Pk)
-        step, _ = build(Pk + 1, S, params, True, i_base=idx * Pk - 1)
-
-        shape = (Q, Pk, W, W) if affine else (Pk, W, W)
-        # mark the carry as varying over the mesh axis (shard_map vma typing)
-        invalid = lax.pcast(jnp.full(shape, INVALID, jnp.int32), (axis,),
-                            to="varying")
-        row_ax = 1 if affine else 0
-
-        def halo_ext(v):
-            last = lax.slice_in_dim(v, Pk - 1, Pk, axis=row_ax)
-            halo = lax.ppermute(last, axis, perm)  # non-participants: zeros
-            halo = jnp.where(idx == 0, INVALID, halo)
-            return jnp.concatenate([halo, v], axis=row_ax)
+        shard_step, invalid, row_ax = _make_shard_step(
+            axis, K, S, params, affine, Pk, W
+        )
 
         def sstep(carry, xs):
             vm1, vm2 = carry
-            d, mu1_row, mu2_blk = xs
-            mu1e = jnp.concatenate(
-                [jnp.zeros((1,), jnp.int32), mu1_row]
-            )
-            mu2e = jnp.concatenate(
-                [jnp.zeros((1, W, W), jnp.int32), mu2_blk]
-            )
-            (vale, _), _ = step(
-                (halo_ext(vm1), halo_ext(vm2)), (d, mu1e, mu2e)
-            )
-            val = lax.slice_in_dim(vale, 1, Pk + 1, axis=row_ax)
+            val = shard_step((vm1, vm2), xs)
             return (val, vm1), None
 
         xs = (jnp.arange(n + m + 1, dtype=jnp.int32), mu1_loc, mu2_loc)
@@ -180,33 +225,16 @@ from ..ops.checkpoint_dp import (
 
 def _halo_machinery(axis: str, K: int, S: int, params, affine: bool,
                     Pk: int, W: int):
-    """Shared per-shard pieces: halo-extended step + invalid carry."""
-    Q = N_STATES
-    build = _build_affine_step if affine else _build_nonaffine_step
-    perm = [(k, k + 1) for k in range(K - 1)]
-    idx = lax.axis_index(axis)
-    step, _ = build(Pk + 1, S, params, True, i_base=idx * Pk - 1)
-
-    shape = (Q, Pk, W, W) if affine else (Pk, W, W)
-    invalid = lax.pcast(jnp.full(shape, INVALID, jnp.int32), (axis,),
-                        to="varying")
-    row_ax = 1 if affine else 0
-
-    def halo_ext(v):
-        last = lax.slice_in_dim(v, Pk - 1, Pk, axis=row_ax)
-        halo = lax.ppermute(last, axis, perm)
-        halo = jnp.where(idx == 0, INVALID, halo)
-        return jnp.concatenate([halo, v], axis=row_ax)
+    """Shared per-shard pieces for the checkpointed fill/remat: the
+    halo-overlapped step (:func:`_make_shard_step`) wrapped as a scan
+    body that also emits the slab as ys."""
+    shard_step, invalid, row_ax = _make_shard_step(
+        axis, K, S, params, affine, Pk, W
+    )
 
     def sstep(carry, xs):
         vm1, vm2 = carry
-        d, mu1_row, mu2_blk = xs
-        mu1e = jnp.concatenate([jnp.zeros((1,), jnp.int32), mu1_row])
-        mu2e = jnp.concatenate(
-            [jnp.zeros((1, W, W), jnp.int32), mu2_blk]
-        )
-        (vale, _), _ = step((halo_ext(vm1), halo_ext(vm2)), (d, mu1e, mu2e))
-        val = lax.slice_in_dim(vale, 1, Pk + 1, axis=row_ax)
+        val = shard_step((vm1, vm2), xs)
         return (val, vm1), val
 
     return sstep, invalid, row_ax
