@@ -226,6 +226,72 @@ class AffineTables:
                     ci += 1
 
 
+    def a_const_separable(self):
+        """Factor ``a_const[q, s]`` into per-pair terms.
+
+        The group-A constant is a sum of independent contributions of the
+        sequence pair and the structure pair (the shift term depends only
+        on the target column; each pair's gap-open/extend term compares
+        the TARGET column's gap direction for that pair with the SOURCE
+        state's — pyx:110-129).  Hence
+
+            a_const[q, s] == base[q] + cseq[qp(q), sp(s)]
+                                      + cstr[qt(q), st(s)]
+
+        where ``qp/sp`` are the pair codes of the seq halves and
+        ``qt/st`` of the str halves (0=(1,1), 1=(1,0), 2=(0,1)).  The
+        factorization lets the 9-source max per target become two chained
+        3-way maxes shared across targets (90 instead of 153 slab ops in
+        the Pallas kernel); int32 ``+`` associativity makes the regrouped
+        arithmetic bit-identical.  Verified exhaustively below — raises
+        if the table ever stops being separable.
+
+        Returns (base[Q], cseq[3, 3], cstr[3, 3], src_idx[3, 3],
+        seq_code[Q], str_code[Q]) as plain int lists.
+        """
+        Q = N_STATES
+        pc = {(1, 1): 0, (1, 0): 1, (0, 1): 2}
+        seq_code = [pc[(s[0], s[1])] for s in STATES]
+        str_code = [pc[(s[2], s[3])] for s in STATES]
+        inv = {v: k for k, v in pc.items()}
+        A = self.a_const.astype(np.int64)
+
+        def sidx(sp, st):
+            tgt = inv[sp] + inv[st]
+            return next(
+                i for i, s in enumerate(STATES) if tuple(s) == tgt
+            )
+
+        src_idx = [[sidx(sp, st) for st in range(3)] for sp in range(3)]
+        s00 = src_idx[0][0]
+        base = [int(A[q, s00]) for q in range(Q)]
+        # representative targets per pair code (any works; asserted below)
+        q_of_seq = [next(q for q in range(Q) if seq_code[q] == sp)
+                    for sp in range(3)]
+        q_of_str = [next(q for q in range(Q) if str_code[q] == st)
+                    for st in range(3)]
+        cseq = [
+            [int(A[q_of_seq[sp], src_idx[ss][0]] - A[q_of_seq[sp], s00])
+             for ss in range(3)]
+            for sp in range(3)
+        ]
+        cstr = [
+            [int(A[q_of_str[st], src_idx[0][ss]] - A[q_of_str[st], s00])
+             for ss in range(3)]
+            for st in range(3)
+        ]
+        for q in range(Q):
+            for s in range(Q):
+                want = (base[q] + cseq[seq_code[q]][seq_code[s]]
+                        + cstr[str_code[q]][str_code[s]])
+                if want != int(A[q, s]):
+                    raise AssertionError(
+                        f"a_const not separable at q={q}, s={s}: "
+                        f"{A[q, s]} != {want}"
+                    )
+        return base, cseq, cstr, src_idx, seq_code, str_code
+
+
 class NonAffineTables:
     """Parameter-bound constants for the 13 non-affine cases."""
 

@@ -116,7 +116,13 @@ def _make_update(S: int, params, SUB: int):
     W = 2 * S + 1
     Q = N_STATES
     tabs = AffineTables(beta, gamma, delta)
-    a_const = tabs.a_const.tolist()       # [Q][Q] python ints -> folded
+    # separable factorization of the group-A constants: the 9-source max
+    # per target becomes two chained 3-way maxes whose first level is
+    # SHARED across targets (cases.AffineTables.a_const_separable — the
+    # regrouped int32 arithmetic is bit-identical)
+    a_base, a_cseq, a_cstr, a_sidx, a_qseq, a_qstr = (
+        tabs.a_const_separable()
+    )
     b_const = tabs.b_const.tolist()
     c_const = tabs.c_const.tolist()
     b_src = tabs.b_src.tolist()
@@ -153,16 +159,36 @@ def _make_update(S: int, params, SUB: int):
         # identical: shift-fill positions are exactly the positions the
         # per-group guard masks to INVALID, and adding the case constant
         # before/after the shift only differs at those fills.
+        # group-A level 1, shared across the 9 targets: for each (target
+        # seq pair qp, source str pair st) the max over the 3 source seq
+        # pairs.  The predecessor slab depends only on the target's seq
+        # pair (a, b), so all targets with the same qp reuse these.
+        pair_ab = {0: (1, 1), 1: (1, 0), 2: (0, 1)}
+        M1 = [[None] * 3 for _ in range(3)]
+        for qp in range(3):
+            pred = preds[pair_ab[qp]]
+            for st in range(3):
+                acc = pred[a_sidx[0][st]] + a_cseq[qp][0]
+                for ss in (1, 2):
+                    acc = jnp.maximum(
+                        acc, pred[a_sidx[ss][st]] + a_cseq[qp][ss]
+                    )
+                M1[qp][st] = acc
+
         best = []
         val = []
         for q in range(Q):
             a, b, c, dd = STATES[q]
             pred = preds[(a, b)]
 
-            # group A: full column == state q, all 9 sources
-            agg = pred[0] + a_const[q][0]
-            for s in range(1, Q):
-                agg = jnp.maximum(agg, pred[s] + a_const[q][s])
+            # group A level 2: max over source str pairs (the remaining
+            # constants fold with base[q] into 3 scalar adds)
+            qp, qt = a_qseq[q], a_qstr[q]
+            agg = M1[qp][0] + (a_cstr[qt][0] + a_base[q])
+            for st in (1, 2):
+                agg = jnp.maximum(
+                    agg, M1[qp][st] + (a_cstr[qt][st] + a_base[q])
+                )
             agg = _shift_w(agg, c - a, dd - b)
             if mu1_coef[q]:
                 agg = agg + mu1_row

@@ -115,3 +115,20 @@ def test_int32_overflow_uses_int64_engine():
     oracle = BiAligner(seqA, seqB, strA, strB, engine="numpy", **params)
     assert score == oracle.optimize()
     assert list(ba.decode_trace()) == list(oracle.decode_trace())
+
+
+def test_a_const_separable_factorization():
+    """The group-A constant table factors into per-pair terms for any
+    params (the Pallas kernel's shared level-1 max depends on this; the
+    method itself raises on any violation)."""
+    from bialign_tpu.ops.cases import AffineTables, STATES
+
+    for (b, g, d) in [(-150, -50, -150), (-200, -50, -210), (-7, -13, -29),
+                      (100, 50, 75), (0, -200, -250)]:
+        tabs = AffineTables(b, g, d)
+        base, cseq, cstr, sidx, qseq, qstr = tabs.a_const_separable()
+        A = tabs.a_const
+        for q in range(9):
+            for s in range(9):
+                assert (base[q] + cseq[qseq[q]][qseq[s]]
+                        + cstr[qstr[q]][qstr[s]]) == int(A[q, s])
