@@ -228,38 +228,59 @@ def _make_update(S: int, params, SUB: int):
             val[q] = jnp.where(protect4, init_q, val[q])
 
         # group B sweep: str-only half columns move within this diagonal;
-        # dependencies strictly decrease t = sk + sl, so each step commits
-        # the whole slab masked to the rows of its own t (their sources, at
-        # t - (c+dd) < t, are already final).  The shift offset (c, dd)
-        # depends only on the TARGET state, so one _shift_w reads all
-        # source rows at once; shift-fill rows (sk < c or sl < dd) are the
-        # reference's dead cases and are re-masked to INVALID *after* the
-        # mu2 add so the fill constant never leaks.  ``best`` never needs
-        # updating: each row is committed exactly once and reads its own
-        # pre-B best.
+        # dependencies strictly decrease t = sk + sl (every B column has
+        # (c, dd) != (0, 0)), so sweeping t ascending makes all source
+        # rows final before they are read.  Compute is restricted to the
+        # <= W (sk, sl) rows of each t — per-row [SUB, LANES] ops with
+        # STATIC leading-axis indices — instead of whole-slab updates
+        # masked to one row (a ~W x reduction of the sweep's op count).
+        # Rows where a target's shift makes the source row fall off the
+        # slab (sk < c or sl < dd) are the reference's dead cases: the
+        # contribution is skipped and the row keeps its pre-B value,
+        # exactly as the INVALID-masked formulation produced.
+        # The slab is exploded into per-(sk, sl) row values (a Python
+        # dict of [SUB, LANES] SSA values) for the sweep — no tensor
+        # scatter exists in the program at all (Mosaic lowers neither
+        # .at[].set nor value-level dynamic_update_slice) — and is
+        # reassembled with one static stack per state afterwards.
+        rows = [
+            {(a_, b_): val[q][a_, b_] for a_ in range(W)
+             for b_ in range(W)}
+            for q in range(Q)
+        ]
         for t in range(1, 4 * S + 1):
-            tmask = (sk4 + sl4) == t
+            rows_t = [(sk, t - sk) for sk in range(W) if 0 <= t - sk < W]
             for q in range(Q):
                 _a, _b, c, dd = STATES[q]
-                aggB = val[b_src[q][0]] + b_const[q][0]
-                for h in (1, 2):
-                    aggB = jnp.maximum(
-                        aggB, val[b_src[q][h]] + b_const[q][h]
-                    )
-                aggB = _shift_w(aggB, c, dd)
-                if b_mu2[q]:
-                    aggB = aggB + mu2_blk
-                live = (
-                    (k4 >= c) & (l4 >= dd)
-                    & (sk4 >= c) & (sl4 >= dd)
-                )
-                cB = jnp.where(live, aggB, INVALID)
-                bq = jnp.maximum(best[q], cB)
-                vq = jnp.where(bq == INVALID, NEG_INF, bq)
-                vq = jnp.where(protect4, val[q], vq)
-                val[q] = jnp.where(tmask, vq, val[q])
+                for (sk, sl) in rows_t:
+                    if sk < c or sl < dd:
+                        continue          # dead case: row keeps pre-B value
+                    acc = (rows[b_src[q][0]][(sk - c, sl - dd)]
+                           + b_const[q][0])
+                    for h in (1, 2):
+                        acc = jnp.maximum(
+                            acc,
+                            rows[b_src[q][h]][(sk - c, sl - dd)]
+                            + b_const[q][h],
+                        )
+                    if b_mu2[q]:
+                        acc = acc + mu2_blk[sk, sl]
+                    live = (i2 + (sk - S) >= c) & (j2 + (sl - S) >= dd)
+                    cB = jnp.where(live, acc, INVALID)
+                    bq = jnp.maximum(best[q][sk, sl], cB)
+                    vq = jnp.where(bq == INVALID, NEG_INF, bq)
+                    if (sk, sl) == (S, S):   # origin row (d == 0 only)
+                        vq = jnp.where(protect4[sk, sl],
+                                       rows[q][(sk, sl)], vq)
+                    rows[q][(sk, sl)] = vq
 
-        return jnp.stack(val)
+        return jnp.stack([
+            jnp.stack([
+                jnp.stack([rows[q][(a_, b_)] for b_ in range(W)])
+                for a_ in range(W)
+            ])
+            for q in range(Q)
+        ])
 
     return update
 
@@ -326,27 +347,37 @@ def _make_nonaffine_update(S: int, params, SUB: int):
         val = jnp.where(protect4, 0, val)
 
         # within-diagonal str-only cases; dependencies strictly decrease
-        # t = sk + sl — each step commits the whole slab masked to the
-        # rows of its own t (sources at t - (x2+x3) < t are final).  The
-        # per-case shift reads all source rows at once; shift-fill rows
-        # (sk < x2 or sl < x3) are dead cases, re-masked to INVALID after
-        # the mu2 add so the fill constant never leaks.
+        # t = sk + sl, so sweeping t ascending makes all source rows
+        # final before they are read.  Compute is restricted to the <= W
+        # (sk, sl) rows of each t (static leading-axis indices) instead
+        # of whole-slab updates masked to one row; rows where a case's
+        # source falls off the slab (sk < x2 or sl < x3) are the
+        # reference's dead cases and simply skip that contribution.
+        rows = {(a_, b_): val[a_, b_] for a_ in range(W)
+                for b_ in range(W)}
         for t in range(1, 4 * S + 1):
-            tmask = (sk4 + sl4) == t
-            b4 = best
-            for (_x0, _x1, x2, x3), const, m2c in internal:
-                contrib = _shift_w(val + const, x2, x3)
-                if m2c:
-                    contrib = contrib + mu2_blk
-                live = (
-                    (k4 >= x2) & (l4 >= x3)
-                    & (sk4 >= x2) & (sl4 >= x3)
-                )
-                b4 = jnp.maximum(b4, jnp.where(live, contrib, INVALID))
-            v4 = jnp.where(b4 == INVALID, NEG_INF, b4)
-            v4 = jnp.where(protect4, val, v4)
-            val = jnp.where(tmask, v4, val)
-        return val
+            rows_t = [(sk, t - sk) for sk in range(W) if 0 <= t - sk < W]
+            for (sk, sl) in rows_t:
+                b4 = best[sk, sl]
+                for (_x0, _x1, x2, x3), const, m2c in internal:
+                    if sk < x2 or sl < x3:
+                        continue
+                    contrib = rows[(sk - x2, sl - x3)] + const
+                    if m2c:
+                        contrib = contrib + mu2_blk[sk, sl]
+                    live = ((i2 + (sk - S) >= x2)
+                            & (j2 + (sl - S) >= x3))
+                    b4 = jnp.maximum(
+                        b4, jnp.where(live, contrib, INVALID)
+                    )
+                v4 = jnp.where(b4 == INVALID, NEG_INF, b4)
+                if (sk, sl) == (S, S):   # origin row (d == 0 only)
+                    v4 = jnp.where(protect4[sk, sl], rows[(sk, sl)], v4)
+                rows[(sk, sl)] = v4
+        return jnp.stack([
+            jnp.stack([rows[(a_, b_)] for b_ in range(W)])
+            for a_ in range(W)
+        ])
 
     return update
 
