@@ -77,20 +77,23 @@ def _encode_col(col):
     return col[..., 0] * 8 + col[..., 1] * 4 + col[..., 2] * 2 + col[..., 3]
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def _affine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _affine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n, m):
     """Device walk; returns (trace_codes[Lmax], n_steps, done_code, score).
 
     The start state (best final score, ties by minimal intrinsic shift,
     then enumeration order — pyx:573-582) is selected on device so the
     whole traceback is ONE dispatch and one small transfer.
 
+    ``n``/``m`` are runtime scalars; the trace capacity comes from the
+    (bucket-padded) mu table shapes, so one compilation serves every
+    pair geometry in a bucket (the mu tables are padded by the wrapper).
+
     done_code: 1 = complete (reached origin in both-match state),
     2 = stuck (the reference's incomplete-traceback warning case).
     """
     S = max_shift
-    m = mu1.shape[1] - 1   # NOT ys.shape[0]-1-n: the band may be padded
-    Lmax = 2 * (n + m) + 1
+    Lmax = 2 * (mu1.shape[0] - 1 + mu1.shape[1] - 1) + 1
 
     src_t, col_t, mults_t = _affine_static_tables()
     SRC = jnp.asarray(src_t)                     # [9,15]
@@ -197,14 +200,29 @@ def _affine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n):
     return out["trace"], out["step"], out["done"], score
 
 
+_MU_QUANTUM = 64
+
+
+def _pad_mu(mu) -> np.ndarray:
+    """Zero-pad a dense (n+1, m+1) table to 64-quantized bounds so the
+    walk's compile key is per length bucket, not per exact pair."""
+    mu = np.asarray(mu)
+    P = -(-mu.shape[0] // _MU_QUANTUM) * _MU_QUANTUM
+    M = -(-mu.shape[1] // _MU_QUANTUM) * _MU_QUANTUM
+    out = np.zeros((P, M), dtype=mu.dtype)
+    out[: mu.shape[0], : mu.shape[1]] = mu
+    return out
+
+
 def affine_traceback(band: DeviceBand, beta: int, gamma: int, delta: int,
                      mu1, mu2):
     """Device-side affine traceback; returns (trace, complete) like the
     host walk (:func:`bialign_tpu.ops.traceback.affine_traceback`)."""
     const = jnp.asarray(_affine_const(beta, gamma, delta))
     codes, steps, done, _score = jax.device_get(_affine_walk(
-        band.ys, jnp.asarray(mu1), jnp.asarray(mu2), const,
-        band.max_shift, band.p_last, band.n,
+        band.ys, jnp.asarray(_pad_mu(mu1)), jnp.asarray(_pad_mu(mu2)),
+        const, band.max_shift, band.p_last, jnp.int32(band.n),
+        jnp.int32(band.m),
     ))
     codes = codes[:int(steps)]
     trace = [
@@ -214,11 +232,11 @@ def affine_traceback(band: DeviceBand, beta: int, gamma: int, delta: int,
     return trace, int(done) == 1
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def _nonaffine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _nonaffine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n, m):
     S = max_shift
-    m = mu1.shape[1] - 1   # NOT ys.shape[0]-1-n: the band may be padded
-    Lmax = 2 * (n + m) + 1
+    # n/m are runtime scalars; trace capacity from the padded mu shapes
+    Lmax = 2 * (mu1.shape[0] - 1 + mu1.shape[1] - 1) + 1
 
     COL = jnp.asarray(np.asarray(NONAFFINE_COLS, dtype=np.int32))  # [13,4]
     tabs = NonAffineTables(0, 0)  # multiplicities only; consts passed in
@@ -285,8 +303,9 @@ def nonaffine_traceback(band: DeviceBand, gamma: int, delta: int, mu1, mu2):
     """Device-side non-affine traceback (forward trace list)."""
     tabs = NonAffineTables(gamma, delta)
     codes, steps = jax.device_get(_nonaffine_walk(
-        band.ys, jnp.asarray(mu1), jnp.asarray(mu2),
-        jnp.asarray(tabs.const), band.max_shift, band.p_last, band.n,
+        band.ys, jnp.asarray(_pad_mu(mu1)), jnp.asarray(_pad_mu(mu2)),
+        jnp.asarray(tabs.const), band.max_shift, band.p_last,
+        jnp.int32(band.n), jnp.int32(band.m),
     ))
     codes = codes[:int(steps)]
     return [
