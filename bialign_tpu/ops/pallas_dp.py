@@ -103,14 +103,27 @@ def _shift_i(x, sub_i, lane_i):
     return jnp.where((lane_i == 0) & (sub_i == 0), INVALID, y)
 
 
+def _shift_i_packed(x, lane_i):
+    """Packed-pairs variant of :func:`_shift_i`: each SUBLANE is an
+    independent pair whose lattice rows live in the lanes, so row i-1 is
+    the previous lane with NO wrap across sublanes (INVALID at lane 0)."""
+    r = pltpu.roll(x, shift=1, axis=x.ndim - 1)
+    return jnp.where(lane_i == 0, INVALID, r)
 
 
-def _make_update(S: int, params, SUB: int):
+
+
+def _make_update(S: int, params, SUB: int, packed: bool = False):
     """Pure per-diagonal slab update shared by the single-pair and the
     batched kernels: (d, mu1_row, mu2_blk, vm1, vm2) -> val.
 
     mu1_row: [SUB, LANES]; mu2_blk: [W, W, SUB, LANES];
     vm1/vm2 (the previous two diagonals): [Q, W, W, SUB, LANES].
+
+    ``packed``: each sublane is an INDEPENDENT pair whose lattice rows
+    live in the lanes (i = lane), used by the packed batched kernel for
+    small buckets — the row advance must not wrap across sublanes and
+    the row index ignores the sublane.
     """
     beta, gamma, delta = params
     W = 2 * S + 1
@@ -138,7 +151,7 @@ def _make_update(S: int, params, SUB: int):
     def update(d, mu1_row, mu2_blk, vm1, vm2):
         sub_i = jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
         lane_i = jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
-        i2 = sub_i * LANES + lane_i
+        i2 = lane_i if packed else sub_i * LANES + lane_i
         j2 = d - i2
 
         sk4 = jax.lax.broadcasted_iota(jnp.int32, shape4, 0)
@@ -149,8 +162,12 @@ def _make_update(S: int, params, SUB: int):
         l4 = j4 + sl4 - S
 
         # predecessor slabs advanced by one lattice row (column a == 1)
-        vm1_p = _shift_i(vm1, sub_i, lane_i)
-        vm2_p = _shift_i(vm2, sub_i, lane_i)
+        if packed:
+            vm1_p = _shift_i_packed(vm1, lane_i)
+            vm2_p = _shift_i_packed(vm2, lane_i)
+        else:
+            vm1_p = _shift_i(vm1, sub_i, lane_i)
+            vm2_p = _shift_i(vm2, sub_i, lane_i)
         preds = {(0, 1): vm1, (1, 0): vm1_p, (1, 1): vm2_p}
 
         # In every case group the (sk, sl) shift offset depends only on
@@ -285,10 +302,11 @@ def _make_update(S: int, params, SUB: int):
     return update
 
 
-def _make_nonaffine_update(S: int, params, SUB: int):
+def _make_nonaffine_update(S: int, params, SUB: int, packed: bool = False):
     """Per-diagonal slab update for the 13-case non-affine recurrence
     (reference recursion_cases, bialignment.pyx:225-252; fill loop 443-471).
-    Slabs are [W, W, SUB, LANES] — no state axis."""
+    Slabs are [W, W, SUB, LANES] — no state axis.  ``packed`` as in
+    :func:`_make_update`."""
     gamma, delta = params
     W = 2 * S + 1
     tab = NonAffineTables(gamma, delta)
@@ -309,7 +327,7 @@ def _make_nonaffine_update(S: int, params, SUB: int):
     def update(d, mu1_row, mu2_blk, vm1, vm2):
         sub_i = jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
         lane_i = jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
-        i2 = sub_i * LANES + lane_i
+        i2 = lane_i if packed else sub_i * LANES + lane_i
         j2 = d - i2
 
         sk4 = jax.lax.broadcasted_iota(jnp.int32, shape4, 0)
@@ -319,8 +337,12 @@ def _make_nonaffine_update(S: int, params, SUB: int):
         k4 = i4 + sk4 - S
         l4 = j4 + sl4 - S
 
-        vm1_p = _shift_i(vm1, sub_i, lane_i)
-        vm2_p = _shift_i(vm2, sub_i, lane_i)
+        if packed:
+            vm1_p = _shift_i_packed(vm1, lane_i)
+            vm2_p = _shift_i_packed(vm2, lane_i)
+        else:
+            vm1_p = _shift_i(vm1, sub_i, lane_i)
+            vm2_p = _shift_i(vm2, sub_i, lane_i)
 
         best = None
         for (x0, x1, x2, x3), const, m1c, m2c in external:
@@ -794,18 +816,139 @@ def _affine_batched_kernel(S: int, params, SUB: int):
     return kernel
 
 
+PACK = 8   # pairs per sublane-packed kernel instance
+
+
+def _lane_pad_rows(mu1p, mu2p):
+    """Zero-pad the row axis of batched dense tables to a LANES multiple
+    (traced; runs on device so the host->device transfer stays bucket-
+    exact)."""
+    B, Np, Mp = mu1p.shape
+    Ppad = _round_up(Np, LANES)
+    if Ppad == Np:
+        return mu1p, mu2p
+    pad = ((0, 0), (0, Ppad - Np), (0, 0))
+    return jnp.pad(mu1p, pad), jnp.pad(mu2p, pad)
+
+
+def _packed_batched_kernel(S: int, params, D: int, affine: bool):
+    """Sublane-packed batched score kernel: PACK pairs ride the sublane
+    axis of every vreg (small buckets use Ppad == LANES, so the plain
+    batched kernel wastes 7/8 of each vreg on SUB=1 slabs — packing
+    restores full ALU utilization and cuts grid steps by PACK).
+
+    Per-pair score capture: an [PACK, LANES] accumulator snapshots the
+    center-shift row on each pair's own final diagonal (``dl_ref``, the
+    per-sublane n+m); the caller extracts score[b] = acc[b, n_b].
+    """
+    W = 2 * S + 1
+    Q = N_STATES
+    if affine:
+        update = _make_update(S, params, PACK, packed=True)
+        slab_shape = (Q, W, W, PACK, LANES)
+    else:
+        update = _make_nonaffine_update(S, params, PACK, packed=True)
+        slab_shape = (W, W, PACK, LANES)
+
+    def kernel(mu1_ref, mu2_ref, dl_ref, out_ref, vm1_ref, vm2_ref,
+               acc_ref):
+        d = pl.program_id(1)
+
+        @pl.when(d == 0)
+        def _():
+            vm1_ref[:] = jnp.full(slab_shape, INVALID, jnp.int32)
+            vm2_ref[:] = jnp.full(slab_shape, INVALID, jnp.int32)
+            acc_ref[:] = jnp.full((PACK, LANES), NEG_INF, jnp.int32)
+
+        val = update(d, mu1_ref[0], mu2_ref[0], vm1_ref[:], vm2_ref[:])
+        vm2_ref[:] = vm1_ref[:]
+        vm1_ref[:] = val
+
+        if affine:
+            cand = jnp.max(val[:, S, S], axis=0)      # [PACK, LANES]
+        else:
+            cand = val[S, S]
+        acc_ref[:] = jnp.where(dl_ref[0] == d, cand, acc_ref[:])
+
+        @pl.when(d == D - 1)
+        def _():
+            out_ref[0] = acc_ref[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _pallas_batched_packed(mu1d, mu2d, ns, ms, D, max_shift, params,
+                           affine=True):
+    """Run the sublane-packed kernel on diagonal tables.
+
+    mu1d: [B, D, LANES]; mu2d: [B, D, W, W, LANES]; B % PACK == 0.
+    Returns [B] scores.
+    """
+    S = max_shift
+    W = 2 * S + 1
+    B = mu1d.shape[0]
+    Bg = B // PACK
+    # pack pairs onto the sublane axis, diagonal-major per group
+    m1 = mu1d.reshape(Bg, PACK, D, LANES).transpose(0, 2, 1, 3)
+    m1 = m1.reshape(Bg * D, PACK, LANES)
+    m2 = mu2d.reshape(Bg, PACK, D, W, W, LANES).transpose(0, 2, 3, 4, 1, 5)
+    m2 = m2.reshape(Bg * D, W, W, PACK, LANES)
+    dl = jnp.broadcast_to(
+        (ns + ms).astype(jnp.int32).reshape(Bg, PACK)[:, :, None],
+        (Bg, PACK, LANES),
+    )
+
+    kernel = _packed_batched_kernel(S, params, D, affine)
+    Q = N_STATES
+    slab = pltpu.VMEM(
+        (Q, W, W, PACK, LANES) if affine else (W, W, PACK, LANES),
+        jnp.int32,
+    )
+    acc = pltpu.VMEM((PACK, LANES), jnp.int32)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bg, D),
+        in_specs=[
+            pl.BlockSpec((1, PACK, LANES), lambda b, d: (b * D + d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, W, PACK, LANES),
+                         lambda b, d: (b * D + d, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PACK, LANES), lambda b, d: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, PACK, LANES), lambda b, d: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bg, PACK, LANES), jnp.int32),
+        scratch_shapes=[slab, slab, acc],
+        interpret=not _on_tpu(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(m1, m2, dl)
+    return out.reshape(B, LANES)[jnp.arange(B), ns]
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _affine_pallas_batched_dense(mu1p, mu2p, ns, ms, D, max_shift, params):
     """Scores for a same-bucket batch from dense padded mu tables.
 
-    mu1p/mu2p: [B, Ppad, Mp] int32 (zero-padded); ns/ms: [B] true
-    lengths; ``D`` = the bucket's diagonal count (N+M+1).  Diagonal
-    tables are built on device (vmapped :func:`_diag_tables_device`) —
-    the host ships only the small dense tables.
+    mu1p/mu2p: [B, N+1, M+1] int32 (bucket-exact, zero-padded); ns/ms:
+    [B] true lengths; ``D`` = the bucket's diagonal count (N+M+1).
+    Row-axis lane padding happens HERE on device (the transfer carries
+    none), then diagonal tables are built on device (vmapped
+    :func:`_diag_tables_device`).  Small buckets (Ppad == LANES) with a
+    PACK-multiple batch use the sublane-packed kernel; others the
+    one-pair-per-step kernel.
     """
     S = max_shift
+    mu1p, mu2p = _lane_pad_rows(mu1p, mu2p)
     build = functools.partial(_diag_tables_device, S=S, D_pad=D)
     mu1d, mu2d = jax.vmap(build)(mu1p, mu2p)
+    if mu1p.shape[1] == LANES and mu1d.shape[0] % PACK == 0:
+        return _pallas_batched_packed(mu1d, mu2d, ns, ms, D, S, params,
+                                      True)
     return _affine_pallas_batched(mu1d, mu2d, ns, ms, S, params)
 
 
@@ -896,8 +1039,12 @@ def _nonaffine_pallas_batched_dense(mu1p, mu2p, ns, ms, D, max_shift,
                                     params):
     """Non-affine twin of :func:`_affine_pallas_batched_dense`."""
     S = max_shift
+    mu1p, mu2p = _lane_pad_rows(mu1p, mu2p)
     build = functools.partial(_diag_tables_device, S=S, D_pad=D)
     mu1d, mu2d = jax.vmap(build)(mu1p, mu2p)
+    if mu1p.shape[1] == LANES and mu1d.shape[0] % PACK == 0:
+        return _pallas_batched_packed(mu1d, mu2d, ns, ms, D, S, params,
+                                      False)
     return _nonaffine_pallas_batched(mu1d, mu2d, ns, ms, S, params)
 
 

@@ -91,11 +91,11 @@ def make_buckets_dense(tables, bucket_quantum: int = 64):
     Pallas batched path (diagonal tables are built on device, so the
     host only pads — no O(D*W^2*P) per-pair numpy work).
 
-    Tables are padded to [Ppad, M+1] with Ppad the lane-rounded N+1;
-    ``Bucket.mu1d``/``mu2d`` hold the dense arrays in this mode.
+    Tables are padded to the bucket-exact [N+1, M+1] only; the kernel
+    wrapper lane-pads the row axis ON DEVICE, so the host->device
+    transfer carries no lane padding (4x smaller for toy-sized pairs
+    through a constrained link).
     """
-    from ..ops.pallas_dp import LANES, _round_up
-
     buckets: dict = {}
     for idx, (mu1, mu2) in enumerate(tables):
         n = mu1.shape[0] - 1
@@ -103,9 +103,8 @@ def make_buckets_dense(tables, bucket_quantum: int = 64):
         N = quantize(n, bucket_quantum)
         M = quantize(m, bucket_quantum)
         b = buckets.setdefault((N, M), Bucket(N, M))
-        Ppad = _round_up(N + 1, LANES)
-        b.mu1d.append(pad_table(np.asarray(mu1), Ppad - 1, M))
-        b.mu2d.append(pad_table(np.asarray(mu2), Ppad - 1, M))
+        b.mu1d.append(pad_table(np.asarray(mu1), N, M))
+        b.mu2d.append(pad_table(np.asarray(mu2), N, M))
         b.indices.append(idx)
         b.n.append(n)
         b.m.append(m)

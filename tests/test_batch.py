@@ -118,3 +118,30 @@ def test_sharded_pallas_nonaffine_matches_oracle(pairs):
         bucket_quantum=16, engine="pallas",
     )
     assert (got == want).all()
+
+
+def test_packed_batched_kernel_matches_oracle():
+    """Sublane-packed batched kernel (8 pairs per vreg): one bucket,
+    PACK-multiple batch, mixed true lengths, both recurrences."""
+    rng = np.random.default_rng(11)
+    pairs = [
+        _rand_pair(rng, 5 + (i % 4), 6 + (i % 3)) for i in range(16)
+    ]
+    from bialign_tpu.ops import pallas_dp
+
+    # bucket (8, 8) -> Ppad == LANES and B == 16 is a PACK multiple:
+    # score_batch must route through _pallas_batched_packed
+    S, beta, gamma, delta = 1, -150, -50, -150
+    want = _oracle_scores(pairs, S, beta, gamma, delta, True)
+    got = pbatch.score_batch(
+        pairs, S, (beta, gamma, delta), affine=True, bucket_quantum=8,
+        engine="pallas",
+    )
+    assert (got == want).all(), (got, want)
+
+    want_na = _oracle_scores(pairs, S, 0, -200, -250, False)
+    got_na = pbatch.score_batch(
+        pairs, S, (-200, -250), affine=False, bucket_quantum=8,
+        engine="pallas",
+    )
+    assert (got_na == want_na).all(), (got_na, want_na)
