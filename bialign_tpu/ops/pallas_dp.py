@@ -821,14 +821,29 @@ PACK = 8   # pairs per sublane-packed kernel instance
 
 def _lane_pad_rows(mu1p, mu2p):
     """Zero-pad the row axis of batched dense tables to a LANES multiple
-    (traced; runs on device so the host->device transfer stays bucket-
-    exact)."""
+    and widen to int32 (traced; runs on device so the host->device
+    transfer stays bucket-exact and may ride in int16)."""
     B, Np, Mp = mu1p.shape
+    mu1p = mu1p.astype(jnp.int32)
+    mu2p = mu2p.astype(jnp.int32)
     Ppad = _round_up(Np, LANES)
     if Ppad == Np:
         return mu1p, mu2p
     pad = ((0, 0), (0, Ppad - Np), (0, 0))
     return jnp.pad(mu1p, pad), jnp.pad(mu2p, pad)
+
+
+def _narrow_if_fits(mu: np.ndarray) -> np.ndarray:
+    """int16 view of a score table when the values fit — transfers to
+    the device shrink 2x; the device side widens back to int32 before
+    any arithmetic (:func:`_lane_pad_rows`), so scores are unchanged."""
+    mu = np.asarray(mu)
+    if mu.dtype == np.int16:
+        return mu
+    amax = int(np.abs(mu).max(initial=0))
+    if amax < (1 << 15):
+        return mu.astype(np.int16)
+    return mu.astype(np.int32)
 
 
 def _packed_batched_kernel(S: int, params, D: int, affine: bool):
@@ -1115,7 +1130,8 @@ def _prep_single(mu1, mu2, S, score_only, interpret, affine):
     p2 = np.zeros((Ppad, Mpad), dtype=np.int32)
     p2[: n + 1, : m + 1] = mu2
     d_last = jnp.asarray([n + m], dtype=jnp.int32)
-    return jnp.asarray(p1), jnp.asarray(p2), d_last, D_pad, n, m
+    return (jnp.asarray(_narrow_if_fits(p1)),
+            jnp.asarray(_narrow_if_fits(p2)), d_last, D_pad, n, m)
 
 
 def fill_affine_device(mu1, mu2, max_shift, beta, gamma, delta, *,

@@ -103,8 +103,10 @@ def make_buckets_dense(tables, bucket_quantum: int = 64):
         N = quantize(n, bucket_quantum)
         M = quantize(m, bucket_quantum)
         b = buckets.setdefault((N, M), Bucket(N, M))
-        b.mu1d.append(pad_table(np.asarray(mu1), N, M))
-        b.mu2d.append(pad_table(np.asarray(mu2), N, M))
+        from ..ops.pallas_dp import _narrow_if_fits
+
+        b.mu1d.append(_narrow_if_fits(pad_table(np.asarray(mu1), N, M)))
+        b.mu2d.append(_narrow_if_fits(pad_table(np.asarray(mu2), N, M)))
         b.indices.append(idx)
         b.n.append(n)
         b.m.append(m)
