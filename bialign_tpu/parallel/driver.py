@@ -155,6 +155,36 @@ class StreamingAligner:
             yield rec.id, int(score)
 
 
+def merge_spools(paths) -> dict:
+    """Merge per-host spool shards into one ``{id: record}`` dict.
+
+    The multi-host driver gives every process its own spool (modulo
+    stream sharding, so shards are disjoint); this is the result-
+    collection step.  Torn trailing lines (a host crashed mid-write)
+    are skipped, matching ResultSpool's own resume semantics.  Raises
+    ValueError if an id appears in two shards with different records —
+    disjointness is the invariant the sharding guarantees.
+    """
+    merged: dict = {}
+    for path in paths:
+        with open(path, "rb") as fh:
+            for line in fh:
+                if not line.endswith(b"\n"):
+                    break
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    break
+                pid = rec["id"]
+                if pid in merged and merged[pid] != rec:
+                    raise ValueError(
+                        f"conflicting records for pair {pid!r} across "
+                        f"spool shards (last: {path})"
+                    )
+                merged[pid] = rec
+    return merged
+
+
 def init_distributed():
     """Multi-host initialization hook (jax.distributed).
 

@@ -99,3 +99,23 @@ def test_spool_ignores_torn_tail(tmp_path):
     lines = [json.loads(x) for x in spool.read_text().splitlines()
              if x.startswith('{"id"') and x.endswith("}")]
     assert {x["id"] for x in lines} >= {"a", "b"}
+
+
+def test_merge_spools_conflict_raises(tmp_path):
+    import pytest
+
+    from bialign_tpu.parallel.driver import merge_spools
+
+    a = tmp_path / "a.jsonl"
+    b = tmp_path / "b.jsonl"
+    a.write_text(json.dumps({"id": "x", "score": 1}) + "\n")
+    b.write_text(json.dumps({"id": "x", "score": 2}) + "\n")
+    with pytest.raises(ValueError, match="conflicting"):
+        merge_spools([str(a), str(b)])
+    # identical duplicates are tolerated (idempotent re-runs)
+    b.write_text(json.dumps({"id": "x", "score": 1}) + "\n"
+                 + json.dumps({"id": "y", "score": 3}) + "\n"
+                 + '{"torn')
+    merged = merge_spools([str(a), str(b)])
+    assert merged == {"x": {"id": "x", "score": 1},
+                      "y": {"id": "y", "score": 3}}

@@ -50,7 +50,11 @@ def test_two_process_distributed_stream(tmp_path):
             })
     # disjoint coverage of the full stream
     assert not (shards[0].keys() & shards[1].keys())
-    merged = {**shards[0], **shards[1]}
+    from bialign_tpu.parallel.driver import merge_spools
+
+    merged = {pid: rec["score"]
+              for pid, rec in merge_spools(spools).items()}
+    assert merged == {**shards[0], **shards[1]}
     assert set(merged) == {f"p{i:02d}" for i in range(10)}
 
     # score parity vs a single-process run of the same stream
