@@ -113,6 +113,45 @@ print("SCORE:", ba.optimize())
 for line in ba.decode_trace():
     print(line)""")
 
+md("""## Batched pair scoring
+
+Corpora of pairs score through `parallel.batch.score_batch`:
+length-bucketed, padded, and run on the batched kernel (sublane-packed
+Pallas on TPU — ~1,800 pairs/s at a 64-pair bucket and ~4,000/s at 512
+on one v5e for this toy — vmapped XLA scan elsewhere).  With a
+`jax.sharding.Mesh` the batch axis shards over the `data` axis; one
+long pair can instead shard its wavefront over chips
+(`parallel.seqsplit`, `ppermute` halo exchange, full traceback
+support).""")
+
+code("""from bialign_tpu.models.molecule import preprocess_molecule
+from bialign_tpu.scoring.tables import build_score_tables
+from bialign_tpu.parallel.batch import score_batch
+
+molA = preprocess_molecule(pa[:60], sa[:60], is_rna=False)
+molB = preprocess_molecule(pb[:60], sb[:60], is_rna=False)
+mu1, mu2 = build_score_tables(molA, molB, params, is_rna=False)
+tables = [(mu1, mu2)] * 32
+t0 = time.perf_counter()
+scores = score_batch(tables, params["max_shift"],
+                     (params["gap_opening_cost"], params["gap_cost"],
+                      params["shift_cost"]), affine=True)
+dt = time.perf_counter() - t0
+print(f"32 pairs in {dt:.2f} s ({32/dt:.0f} pairs/s on this backend)")
+print("scores identical:", len(set(scores.tolist())) == 1)""")
+
+md("""## Serving: persistent compile cache + bucket prewarm
+
+Kernels compile once per *length bucket* (not per exact pair), and the
+persistent JAX compilation cache keeps that across processes.  A serving
+deployment pays all compiles at startup:
+
+```python
+from bialign_tpu.utils.warmup import prewarm
+prewarm([(932, 932)], params=params, max_shift=1)
+```
+""")
+
 md("""## Plotting
 
 `plot_alignment` draws the four-way alignment with secondary-structure
