@@ -165,8 +165,8 @@ from bialign_tpu import plot_alignment
 ba = BiAligner(pa[:80], pb[:80], sa[:80], sb[:80], **params)
 ba.optimize()
 alilines = ba.decode_trace_full()
-fig = plot_alignment(alilines, 40, outname="dnapol_prefix80.svg")
-print("wrote dnapol_prefix80.svg")""")
+fig = plot_alignment(alilines, 40, outname="Notebooks/dnapol_prefix80.svg")
+print("wrote Notebooks/dnapol_prefix80.svg")""")
 
 nb["cells"] = cells
 nb["metadata"]["kernelspec"] = {
