@@ -1,0 +1,29 @@
+"""Scaling subsystems: batched data parallelism, the streaming driver,
+and sequence-split (context-parallel) single-pair sharding.
+
+The reference is single-process, single-threaded (SURVEY.md §2.4); this
+package is the TPU-native scale-out layer.
+"""
+
+from .batch import make_buckets, make_buckets_dense, score_batch
+from .driver import (
+    PairRecord,
+    ResultSpool,
+    StreamingAligner,
+    init_distributed,
+    merge_spools,
+)
+from .seqsplit import fill_seqsplit, score_seqsplit
+
+__all__ = [
+    "PairRecord",
+    "ResultSpool",
+    "StreamingAligner",
+    "fill_seqsplit",
+    "init_distributed",
+    "make_buckets",
+    "make_buckets_dense",
+    "merge_spools",
+    "score_batch",
+    "score_seqsplit",
+]
