@@ -132,3 +132,25 @@ def test_a_const_separable_factorization():
             for s in range(9):
                 assert (base[q] + cseq[qseq[q]][qseq[s]]
                         + cstr[qstr[q]][qstr[s]]) == int(A[q, s])
+
+
+def test_max_shift_zero_end_to_end():
+    """max_shift 0 (the reference's fastest bialign.ipynb config) through
+    the full path on every engine: fill + traceback + decode agree."""
+    from bialign_tpu import BiAligner
+
+    outs = []
+    for engine in ("numpy", "xla", "pallas"):
+        ba = BiAligner(
+            "GCGGGGGAUAUCCCCAUCG", "GGGGAUAUCCCCAUCG",
+            "...(((.....))).....", ".(((.....)))....",
+            engine=engine, type="RNA", structure_weight=400,
+            gap_opening_cost=-200, gap_cost=-50, shift_cost=-150,
+            max_shift=0,
+        )
+        outs.append((ba.optimize(), list(ba.decode_trace())))
+    assert outs[0] == outs[1] == outs[2]
+    score, lines = outs[0]
+    # shift rows must be all dots at max_shift 0
+    assert set(lines[-1].split()[-1]) == {"."}
+    assert set(lines[-2].split()[-1]) == {"."}

@@ -24,6 +24,7 @@ CASES = [
     (12, 3, 1, -150, -50, -210),
     (1, 1, 1, -150, -50, -150),
     (6, 6, 2, -50, -100, -100),
+    (7, 9, 0, -150, -50, -150),   # max_shift 0 (reference bialign.ipynb)
 ]
 
 
@@ -84,6 +85,7 @@ NA_CASES = [
     (12, 3, 1, -100, -150),
     (1, 1, 1, -200, -250),
     (6, 6, 2, -50, -100),
+    (7, 9, 0, -200, -250),        # max_shift 0
 ]
 
 
