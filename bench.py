@@ -221,6 +221,16 @@ def main():
         "vs_baseline": round(v1 / base1, 2),
     }
 
+    # 1b. affine ms0 (the reference's fastest recorded config: 26.2 s)
+    _, mu1_ms0, mu2_ms0 = _dnapol_tables(dict(PARAMS, max_shift=0))
+    v0, _, _ = _fill_cells_metric(mu1_ms0, mu2_ms0, 0, True, None, on_tpu)
+    base0 = (929 * 934) / 26.2
+    extras.append({
+        "metric": "dnapol1_affine_ms0_4d_cells_per_s",
+        "value": round(v0, 1), "unit": "cells/s",
+        "vs_baseline": round(v0 / base0, 2),
+    })
+
     # 2. affine ms2 (CLI default shift band)
     v2, _, _ = _fill_cells_metric(mu1_ms2, mu2_ms2, 2, True, None, on_tpu)
     base2 = (929 * 934 * 25) / 2201.0

@@ -13,10 +13,16 @@ dims ``(sk, sl)`` and the 9 affine states are *leading* axes, so:
 * shifts along (sk, sl) are static pad+slice on pre-vreg axes — pure
   vreg re-selection, no data movement;
 * the within-diagonal group-B sweep over shift anti-diagonals
-  ``t = sk + sl`` touches ONLY the (sk, sl) rows of its own ``t``
-  (single-vreg-row ops) instead of re-masking the whole slab;
+  ``t = sk + sl`` is row-exploded: the slab becomes per-(sk, sl) SSA
+  row values for the sweep, each ``t`` computes ONLY its own <= W rows
+  (no scatter — Mosaic lowers none — and one static re-stack at the
+  end);
+* the group-A 9-source max is factored through the separable constant
+  table (cases.AffineTables.a_const_separable) into two chained 3-way
+  maxes whose first level is shared across all 9 target states;
 * the lattice-row advance (i -> i-1) is one lane roll + one sublane roll
-  + two selects.
+  + two selects (or a sublane-independent lane roll in the pair-packed
+  batched kernel, which rides PACK=8 small pairs on the sublane axis).
 
 Same case algebra as the XLA engine — group A (full columns, 9 sources),
 group C (seq-only half columns), group B (str-only half columns, swept in
