@@ -171,3 +171,18 @@ def test_prewarm_compiles_buckets():
     assert len(descs) == 2          # score + band for the shared bucket
     assert any("score" in d for d in descs)
     assert any("band" in d for d in descs)
+
+
+@pytest.mark.parametrize("S", [3, 4])
+def test_wide_shift_band_parity(S):
+    """max_shift beyond the CLI default (the reference accepts any
+    value): band, score and device traceback vs the oracle."""
+    rng = np.random.default_rng(40 + S)
+    mu1, mu2 = _rand_pair(rng, 8, 10)
+    H = reference_dp.fill_affine(mu1, mu2, S, -150, -50, -150)
+    want = reference_dp.affine_score_from_band(H, 8, 10, S)
+    band = pallas_dp.fill_affine_device(mu1, mu2, S, -150, -50, -150)
+    assert band.final_score() == want
+    got, _ = dtb.affine_traceback(band, -150, -50, -150, mu1, mu2)
+    wtr, _ = host_tb.affine_traceback(H, mu1, mu2, S, -150, -50, -150)
+    assert [tuple(c) for c in got] == [tuple(c) for c in wtr]
