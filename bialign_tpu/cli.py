@@ -126,6 +126,15 @@ def _echo_inputs(ns) -> None:
 
 
 def main(argv=None):
+    # Apply JAX_PLATFORMS / compile-cache config BEFORE anything touches
+    # jax.devices() (engine auto-selection does): a sitecustomize that
+    # pre-imports jax can pin the platform, silently ignoring the user's
+    # JAX_PLATFORMS=cpu — ensure_compile_cache re-applies the env var
+    # while the backend is still uninitialized.
+    from .utils.jaxconfig import ensure_compile_cache
+
+    ensure_compile_cache()
+
     parser = argparse.ArgumentParser(description="Bialignment.")
     add_bialign_parameters(parser)
     ns = parser.parse_args(argv)

@@ -160,28 +160,38 @@ def merge_spools(paths) -> dict:
 
     The multi-host driver gives every process its own spool (modulo
     stream sharding, so shards are disjoint); this is the result-
-    collection step.  Torn trailing lines (a host crashed mid-write)
-    are skipped, matching ResultSpool's own resume semantics.  Raises
-    ValueError if an id appears in two shards with different records —
-    disjointness is the invariant the sharding guarantees.
+    collection step.  Only a torn FINAL line (a host crashed mid-write)
+    is tolerated, matching ResultSpool's own resume semantics; an
+    unparsable line with complete lines after it is mid-file corruption
+    and raises instead of silently dropping the rest of the shard.
+    Raises ValueError if an id appears in two shards with different
+    records — disjointness is the invariant the sharding guarantees.
     """
     merged: dict = {}
     for path in paths:
         with open(path, "rb") as fh:
-            for line in fh:
-                if not line.endswith(b"\n"):
-                    break
-                try:
-                    rec = json.loads(line)
-                except ValueError:
-                    break
+            lines = fh.readlines()
+        for ln_no, line in enumerate(lines):
+            is_last = ln_no == len(lines) - 1
+            torn = not line.endswith(b"\n")
+            if torn and is_last:
+                break
+            try:
+                rec = json.loads(line)
                 pid = rec["id"]
-                if pid in merged and merged[pid] != rec:
-                    raise ValueError(
-                        f"conflicting records for pair {pid!r} across "
-                        f"spool shards (last: {path})"
-                    )
-                merged[pid] = rec
+            except (ValueError, KeyError, TypeError):
+                if is_last:
+                    break  # torn tail: crashed mid-write of the last record
+                raise ValueError(
+                    f"corrupt spool record mid-file ({path}:{ln_no + 1}); "
+                    "refusing to silently drop the records after it"
+                )
+            if pid in merged and merged[pid] != rec:
+                raise ValueError(
+                    f"conflicting records for pair {pid!r} across "
+                    f"spool shards (last: {path})"
+                )
+            merged[pid] = rec
     return merged
 
 

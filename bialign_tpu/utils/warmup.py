@@ -42,8 +42,9 @@ def prewarm(lengths, *, params, max_shift: int = 2, band: bool = True,
     ``shift_cost`` (non-zero gap opening selects the affine kernels,
     like the engine, pyx:203-205).
     ``band``/``score_only`` select which fill modes to compile;
-    ``traceback`` additionally compiles the on-device walk (which is
-    keyed on the exact (n, m), not the bucket).
+    ``traceback`` additionally compiles the on-device walk, whose
+    compile is shared per 64-quantized (n, m) bucket (the walk pads its
+    mu tables via ``device_traceback._pad_mu``), like the fills.
 
     Returns a list of ``(description, seconds)`` compile timings.
     """

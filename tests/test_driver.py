@@ -119,3 +119,18 @@ def test_merge_spools_conflict_raises(tmp_path):
     merged = merge_spools([str(a), str(b)])
     assert merged == {"x": {"id": "x", "score": 1},
                       "y": {"id": "y", "score": 3}}
+
+
+def test_merge_spools_midfile_corruption_raises(tmp_path):
+    import pytest
+
+    from bialign_tpu.parallel.driver import merge_spools
+
+    shard = tmp_path / "c.jsonl"
+    shard.write_text(json.dumps({"id": "a", "score": 1}) + "\n"
+                     + '{"corrupt mid-file\n'
+                     + json.dumps({"id": "b", "score": 2}) + "\n")
+    # a corrupt line with complete records AFTER it must raise, not
+    # silently discard record "b" (ADVICE r3)
+    with pytest.raises(ValueError, match="mid-file"):
+        merge_spools([str(shard)])
