@@ -233,6 +233,46 @@ def affine_traceback(band: DeviceBand, beta: int, gamma: int, delta: int,
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
+def _affine_walk_batch(ys, mu1, mu2, case_const, max_shift, p_last, ns,
+                       ms):
+    """vmap of :func:`_affine_walk` over a same-bucket batch.
+
+    ys: [B, D, Q, W, W, P] (p_last) or [B, D, Q, P, W, W]; mu1/mu2:
+    [B, Np, Mp] dense int32; ns/ms: [B].  The batched while_loop runs
+    until every pair's walk halts (inactive pairs idle, trace capacity
+    is the bucket's Lmax).  Returns (codes [B, Lmax], steps [B],
+    done [B], scores [B]).
+    """
+
+    def one(y, m1, m2, n, m):
+        return _affine_walk(y, m1, m2, case_const, max_shift, p_last,
+                            n, m)
+
+    return jax.vmap(one)(ys, mu1, mu2, ns, ms)
+
+
+def decode_walk_codes(codes_row, steps: int):
+    """Reversed-walk int codes -> forward trace list of (a,b,c,d)."""
+    return [
+        ((c >> 3) & 1, (c >> 2) & 1, (c >> 1) & 1, c & 1)
+        for c in reversed(codes_row[:steps].tolist())
+    ]
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _nonaffine_walk_batch(ys, mu1, mu2, case_const, max_shift, p_last,
+                          ns, ms):
+    """Non-affine twin of :func:`_affine_walk_batch`; returns
+    (codes [B, Lmax], steps [B])."""
+
+    def one(y, m1, m2, n, m):
+        return _nonaffine_walk(y, m1, m2, case_const, max_shift, p_last,
+                               n, m)
+
+    return jax.vmap(one)(ys, mu1, mu2, ns, ms)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
 def _nonaffine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n, m):
     S = max_shift
     # n/m are runtime scalars; trace capacity from the padded mu shapes

@@ -59,6 +59,7 @@ from .cases import (
     AffineTables,
     NonAffineTables,
     NONAFFINE_COLS,
+    iter_affine_cases,
 )
 from .xla_dp import INVALID
 
@@ -628,6 +629,184 @@ _D_QUANTUM_TPU = 128
 _D_QUANTUM_INTERPRET = 16
 
 
+# -- max_shift == 0 specialization (affine, score-only) -----------------------
+#
+# At max_shift 0 the shift band collapses to W == 1: every applicable
+# column must advance the two alignment copies in lockstep (a == c,
+# b == d), so (i) only the 3 "synchronized" states (1,1,1,1), (1,0,1,0),
+# (0,1,0,1) are ever reachable — the other 6 stay at the -2^30 init —
+# and (ii) the group-C (seq-only) and group-B (str-only) half columns are
+# all band-dead (they change one copy's position, hence the shift).  The
+# generic kernel still carries the [9, 1, 1, SUB, LANES] slab, the
+# 9-source max tree, the group-C arm and the (empty) B sweep; this
+# specialization runs a [3, SUB, LANES] slab with a 3-source max — ~8x
+# fewer VPU ops/diagonal — for the reference's own fastest recorded
+# config (bialign.ipynb cell 5: max_shift 0, 26.2 s).
+#
+# Score parity is exact: every lattice cell (i, j) is reachable at
+# max_shift 0, so reachable-cell values never depend on the 6 dead
+# states (whose -2^30-drift values differ from the generic band only in
+# cells that cannot influence any reachable maximum).  Used for
+# score-only fills; band fills (traceback) keep the generic 9-state
+# kernel the device walk expects.
+
+def _ms0_live_tables(params):
+    """Live states at S == 0 and their [3, 3] case-constant matrix.
+
+    Returns (live_state_indices, const[t][s], mu1_coef[t], mu2_coef[t])
+    where t/s index the live states in STATES enumeration order and
+    const folds the gap/opening multiplicities (reference
+    affine_recursion_cases restricted to the surviving full columns,
+    bialignment.pyx:255-296).
+    """
+    beta, gamma, delta = params
+    live = [q for q in range(N_STATES)
+            if STATES[q][0] == STATES[q][2]
+            and STATES[q][1] == STATES[q][3]]
+    assert len(live) == 3 and STATE_BOTH_MATCH in live
+    pos = {q: t for t, q in enumerate(live)}
+    const = np.zeros((3, 3), dtype=np.int64)
+    seen = np.zeros((3, 3), dtype=bool)
+    mu1c = [0] * 3
+    mu2c = [0] * 3
+    for t, q in enumerate(live):
+        for (s, c, m1c, m2c, ng, nb, nd, _g) in iter_affine_cases(q):
+            if tuple(c) != STATES[q]:
+                continue          # B/C half column: band-dead at S == 0
+            if s not in pos:
+                continue          # unreachable source state
+            const[t, pos[s]] = ng * gamma + nb * beta + nd * delta
+            seen[t, pos[s]] = True
+            mu1c[t] = m1c
+            mu2c[t] = m2c
+    assert seen.all()
+    return live, const.astype(np.int32), mu1c, mu2c
+
+
+def _make_update_ms0(params, SUB: int):
+    """Per-diagonal slab update for the S == 0 specialization; slabs are
+    [3, SUB, LANES] (live states only, no shift axes)."""
+    live, const, mu1c, mu2c = _ms0_live_tables(params)
+    cols = [STATES[q] for q in live]
+    shape2 = (SUB, LANES)
+
+    def update(d, mu1_row, mu2_row, vm1, vm2):
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
+        i2 = sub_i * LANES + lane_i
+        j2 = d - i2
+
+        vm1_p = _shift_i(vm1, sub_i, lane_i)
+        vm2_p = _shift_i(vm2, sub_i, lane_i)
+        preds = {(0, 1): vm1, (1, 0): vm1_p, (1, 1): vm2_p}
+
+        protect = (d == 0) & (i2 == 0)
+        out = []
+        for t in range(3):
+            a, b = cols[t][0], cols[t][1]
+            pred = preds[(a, b)]
+            acc = pred[0] + int(const[t, 0])
+            for s in (1, 2):
+                acc = jnp.maximum(acc, pred[s] + int(const[t, s]))
+            if mu1c[t]:
+                acc = acc + mu1_row
+            if mu2c[t]:
+                acc = acc + mu2_row
+            v = jnp.where((i2 >= a) & (j2 >= b), acc, NEG_INF)
+            init_t = 0 if live[t] == STATE_BOTH_MATCH else NEG_INF
+            out.append(jnp.where(protect, init_t, v))
+        return jnp.stack(out)
+
+    return update
+
+
+def _affine_ms0_kernel(G: int, params, SUB: int):
+    update = _make_update_ms0(params, SUB)
+
+    def kernel(d_last_ref, mu1_ref, mu2_ref, out_ref, vm1_ref, vm2_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            vm1_ref[:] = jnp.full((3, SUB, LANES), INVALID, jnp.int32)
+            vm2_ref[:] = jnp.full((3, SUB, LANES), INVALID, jnp.int32)
+
+        def body(u, carry):
+            v1, v2 = carry
+            d = g * G + u
+            val = update(d, mu1_ref[pl.ds(u, 1)][0],
+                         mu2_ref[pl.ds(u, 1)][0], v1, v2)
+
+            @pl.when(d == d_last_ref[0])
+            def _():
+                out_ref[0] = val
+
+            return val, v1
+
+        v1, v2 = jax.lax.fori_loop(0, G, body, (vm1_ref[:], vm2_ref[:]))
+        vm1_ref[:] = v1
+        vm2_ref[:] = v2
+
+    return kernel
+
+
+def _pick_chunk_ms0(Ppad: int, interpret: bool) -> int:
+    """ms0 per-diagonal blocks are tiny (two [SUB, LANES] rows); admit
+    chunks up to the 128-diagonal bucket quantum."""
+    if interpret:
+        return 1
+    per_diag = 2 * (2 * Ppad * 4 + 4)
+    return _floor_pow2(max(1, min(128, (6 * 1024 * 1024) // per_diag)))
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _affine_pallas_ms0(mu1d, mu2d, d_last, params, interpret):
+    """Score-only S == 0 fill.  mu1d/mu2d: [D_pad, Ppad] diagonal tables
+    (mu2's shift block collapses to its center plane).  Returns the
+    final-diagonal slab padded to the generic [1, 9, 1, 1, Ppad] layout
+    (dead states NEG_INF) so every consumer of the generic kernel's
+    score-only output works unchanged."""
+    D_pad, Ppad = mu1d.shape
+    SUB = Ppad // LANES
+    G = _pick_chunk_ms0(Ppad, interpret)
+    while D_pad % G:
+        G //= 2
+    Dg = D_pad // G
+
+    mu1t = mu1d.reshape(D_pad, SUB, LANES)
+    mu2t = mu2d.reshape(D_pad, SUB, LANES)
+    kernel = _affine_ms0_kernel(G, params, SUB)
+    slab = pltpu.VMEM((3, SUB, LANES), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Dg,),
+        in_specs=[
+            pl.BlockSpec((G, SUB, LANES), lambda g, dl: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, SUB, LANES), lambda g, dl: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, SUB, LANES),
+                               lambda g, dl: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[slab, slab],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, 3, SUB, LANES), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(d_last, mu1t, mu2t)
+    live, _, _, _ = _ms0_live_tables(params)
+    full = jnp.full((1, N_STATES, 1, 1, SUB * LANES), NEG_INF, jnp.int32)
+    return full.at[:, jnp.asarray(live), 0, 0, :].set(
+        out.reshape(1, 3, SUB * LANES)
+    )
+
+
 def _bucket_D(D: int, G: int, interpret: bool) -> int:
     q = _D_QUANTUM_INTERPRET if interpret else _D_QUANTUM_TPU
     q = max(q, G)            # G is a power of two <= 128, so G | q
@@ -642,6 +821,11 @@ def _affine_pallas(mu1d, mu2d, d_last, max_shift, params, score_only,
     (a multiple of the chunk G), so the compile key depends only on the
     bucket, never the exact pair lengths."""
     S = max_shift
+    if S == 0 and score_only:
+        # W == 1 fast path: 3-state slab, no shift axes (see the
+        # max_shift == 0 specialization section above)
+        return _affine_pallas_ms0(mu1d, mu2d[:, 0, 0, :], d_last, params,
+                                  interpret)
     W = 2 * S + 1
     Q = N_STATES
     D_pad = mu1d.shape[0]
@@ -782,12 +966,18 @@ def _slab_score(last, S, n):
     return jnp.max(jnp.take(last[0, :, S, S, :], n, axis=-1))
 
 
-def _affine_batched_kernel(S: int, params, SUB: int):
-    """Batched score-only kernel: grid (B, D), per-pair true lengths in
-    SMEM via scalar prefetch; the slab update is identical to the
-    single-pair kernel (it never references n/m — garbage lattice
-    positions are computed but provably never read), and the score is
-    captured on the fly when the pair's final diagonal d == n + m passes.
+def _affine_batched_kernel(G: int, S: int, params, SUB: int,
+                           score_only: bool):
+    """Batched kernel: grid (B, Dg) with G diagonals per grid step
+    (the same fori_loop chunking as the single-pair kernel — one
+    diagonal per step was the round-3 batched-throughput gap), per-pair
+    true lengths in SMEM via scalar prefetch.  The slab update is
+    identical to the single-pair kernel (it never references n/m —
+    garbage lattice positions are computed but provably never read).
+
+    ``score_only``: capture the score on the fly when the pair's final
+    diagonal d == n + m passes; otherwise emit the full band (the
+    batched-alignments path walks it with the vmapped device traceback).
     """
     W = 2 * S + 1
     Q = N_STATES
@@ -796,28 +986,41 @@ def _affine_batched_kernel(S: int, params, SUB: int):
     def kernel(ns_ref, ms_ref, mu1_ref, mu2_ref, out_ref, vm1_ref,
                vm2_ref):
         b = pl.program_id(0)
-        d = pl.program_id(1)
+        g = pl.program_id(1)
 
-        @pl.when(d == 0)
+        @pl.when(g == 0)
         def _():
             vm1_ref[:] = jnp.full((Q, W, W, SUB, LANES), INVALID, jnp.int32)
             vm2_ref[:] = jnp.full((Q, W, W, SUB, LANES), INVALID, jnp.int32)
-            out_ref[0] = jnp.full((8, LANES), NEG_INF, jnp.int32)
-
-        val = update(d, mu1_ref[0], mu2_ref[0], vm1_ref[:], vm2_ref[:])
-        vm2_ref[:] = vm1_ref[:]
-        vm1_ref[:] = val
+            if score_only:
+                out_ref[0] = jnp.full((8, LANES), NEG_INF, jnp.int32)
 
         n = ns_ref[b]
         m = ms_ref[b]
 
-        @pl.when(d == n + m)
-        def _():
-            sub_i = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
-            lane_i = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
-            hit = (sub_i * LANES + lane_i) == n
-            score = jnp.max(jnp.where(hit[None], val[:, S, S], INVALID))
-            out_ref[0] = jnp.full((8, LANES), score, jnp.int32)
+        def body(u, carry):
+            v1, v2 = carry
+            d = g * G + u
+            val = update(d, mu1_ref[pl.ds(u, 1)][0],
+                         mu2_ref[pl.ds(u, 1)][0], v1, v2)
+            if score_only:
+                @pl.when(d == n + m)
+                def _():
+                    sub_i = jax.lax.broadcasted_iota(
+                        jnp.int32, (SUB, LANES), 0)
+                    lane_i = jax.lax.broadcasted_iota(
+                        jnp.int32, (SUB, LANES), 1)
+                    hit = (sub_i * LANES + lane_i) == n
+                    score = jnp.max(
+                        jnp.where(hit[None], val[:, S, S], INVALID))
+                    out_ref[0] = jnp.full((8, LANES), score, jnp.int32)
+            else:
+                out_ref[pl.ds(u, 1)] = val[None]
+            return val, v1
+
+        v1, v2 = jax.lax.fori_loop(0, G, body, (vm1_ref[:], vm2_ref[:]))
+        vm1_ref[:] = v1
+        vm2_ref[:] = v2
 
     return kernel
 
@@ -852,11 +1055,14 @@ def _narrow_if_fits(mu: np.ndarray) -> np.ndarray:
     return mu.astype(np.int32)
 
 
-def _packed_batched_kernel(S: int, params, D: int, affine: bool):
+def _packed_batched_kernel(G: int, Dg: int, S: int, params, affine: bool):
     """Sublane-packed batched score kernel: PACK pairs ride the sublane
     axis of every vreg (small buckets use Ppad == LANES, so the plain
     batched kernel wastes 7/8 of each vreg on SUB=1 slabs — packing
-    restores full ALU utilization and cuts grid steps by PACK).
+    restores full ALU utilization and cuts grid steps by PACK), and each
+    grid step advances G diagonals via fori_loop (same chunking as the
+    single-pair kernel; one-diagonal steps were the round-3 batched-
+    throughput gap).
 
     Per-pair score capture: an [PACK, LANES] accumulator snapshots the
     center-shift row on each pair's own final diagonal (``dl_ref``, the
@@ -873,25 +1079,31 @@ def _packed_batched_kernel(S: int, params, D: int, affine: bool):
 
     def kernel(mu1_ref, mu2_ref, dl_ref, out_ref, vm1_ref, vm2_ref,
                acc_ref):
-        d = pl.program_id(1)
+        g = pl.program_id(1)
 
-        @pl.when(d == 0)
+        @pl.when(g == 0)
         def _():
             vm1_ref[:] = jnp.full(slab_shape, INVALID, jnp.int32)
             vm2_ref[:] = jnp.full(slab_shape, INVALID, jnp.int32)
             acc_ref[:] = jnp.full((PACK, LANES), NEG_INF, jnp.int32)
 
-        val = update(d, mu1_ref[0], mu2_ref[0], vm1_ref[:], vm2_ref[:])
-        vm2_ref[:] = vm1_ref[:]
-        vm1_ref[:] = val
+        def body(u, carry):
+            v1, v2 = carry
+            d = g * G + u
+            val = update(d, mu1_ref[pl.ds(u, 1)][0],
+                         mu2_ref[pl.ds(u, 1)][0], v1, v2)
+            if affine:
+                cand = jnp.max(val[:, S, S], axis=0)   # [PACK, LANES]
+            else:
+                cand = val[S, S]
+            acc_ref[:] = jnp.where(dl_ref[0] == d, cand, acc_ref[:])
+            return val, v1
 
-        if affine:
-            cand = jnp.max(val[:, S, S], axis=0)      # [PACK, LANES]
-        else:
-            cand = val[S, S]
-        acc_ref[:] = jnp.where(dl_ref[0] == d, cand, acc_ref[:])
+        v1, v2 = jax.lax.fori_loop(0, G, body, (vm1_ref[:], vm2_ref[:]))
+        vm1_ref[:] = v1
+        vm2_ref[:] = v2
 
-        @pl.when(d == D - 1)
+        @pl.when(g == Dg - 1)
         def _():
             out_ref[0] = acc_ref[:]
 
@@ -910,6 +1122,13 @@ def _pallas_batched_packed(mu1d, mu2d, ns, ms, D, max_shift, params,
     W = 2 * S + 1
     B = mu1d.shape[0]
     Bg = B // PACK
+    interpret = not _on_tpu()
+    # PACK-sublane slabs are 1/SUB the single-pair size; the same VMEM
+    # budget admits a PACK-times larger chunk
+    G = min(_pick_chunk(S, PACK * LANES, True, interpret), D)
+    while D % G:
+        G //= 2
+    Dg = D // G
     # pack pairs onto the sublane axis, diagonal-major per group
     m1 = mu1d.reshape(Bg, PACK, D, LANES).transpose(0, 2, 1, 3)
     m1 = m1.reshape(Bg * D, PACK, LANES)
@@ -920,7 +1139,7 @@ def _pallas_batched_packed(mu1d, mu2d, ns, ms, D, max_shift, params,
         (Bg, PACK, LANES),
     )
 
-    kernel = _packed_batched_kernel(S, params, D, affine)
+    kernel = _packed_batched_kernel(G, Dg, S, params, affine)
     Q = N_STATES
     slab = pltpu.VMEM(
         (Q, W, W, PACK, LANES) if affine else (W, W, PACK, LANES),
@@ -929,21 +1148,21 @@ def _pallas_batched_packed(mu1d, mu2d, ns, ms, D, max_shift, params,
     acc = pltpu.VMEM((PACK, LANES), jnp.int32)
     out = pl.pallas_call(
         kernel,
-        grid=(Bg, D),
+        grid=(Bg, Dg),
         in_specs=[
-            pl.BlockSpec((1, PACK, LANES), lambda b, d: (b * D + d, 0, 0),
+            pl.BlockSpec((G, PACK, LANES), lambda b, g: (b * Dg + g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, W, PACK, LANES),
-                         lambda b, d: (b * D + d, 0, 0, 0, 0),
+            pl.BlockSpec((G, W, W, PACK, LANES),
+                         lambda b, g: (b * Dg + g, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PACK, LANES), lambda b, d: (b, 0, 0),
+            pl.BlockSpec((1, PACK, LANES), lambda b, g: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, PACK, LANES), lambda b, d: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, PACK, LANES), lambda b, g: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bg, PACK, LANES), jnp.int32),
         scratch_shapes=[slab, slab, acc],
-        interpret=not _on_tpu(),
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -951,34 +1170,47 @@ def _pallas_batched_packed(mu1d, mu2d, ns, ms, D, max_shift, params,
     return out.reshape(B, LANES)[jnp.arange(B), ns]
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def _affine_pallas_batched_dense(mu1p, mu2p, ns, ms, D, max_shift, params):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _affine_pallas_batched_dense(mu1p, mu2p, ns, ms, D, max_shift, params,
+                                 score_only=True):
     """Scores for a same-bucket batch from dense padded mu tables.
 
     mu1p/mu2p: [B, N+1, M+1] int32 (bucket-exact, zero-padded); ns/ms:
-    [B] true lengths; ``D`` = the bucket's diagonal count (N+M+1).
+    [B] true lengths; ``D`` = the bucket's diagonal count (N+M+1),
+    padded here to a chunkable multiple of 16 (diagonals past a pair's
+    d_last compute garbage that is never read).
     Row-axis lane padding happens HERE on device (the transfer carries
     none), then diagonal tables are built on device (vmapped
     :func:`_diag_tables_device`).  Small buckets (Ppad == LANES) with a
     PACK-multiple batch use the sublane-packed kernel; others the
-    one-pair-per-step kernel.
+    one-pair-per-step kernel.  ``score_only=False`` (alignments path)
+    returns the full per-pair bands [B, D_pad, Q, W, W, Ppad] from the
+    non-packed kernel.
     """
     S = max_shift
+    D_pad = _round_up(D, 16)
     mu1p, mu2p = _lane_pad_rows(mu1p, mu2p)
-    build = functools.partial(_diag_tables_device, S=S, D_pad=D)
+    build = functools.partial(_diag_tables_device, S=S, D_pad=D_pad)
     mu1d, mu2d = jax.vmap(build)(mu1p, mu2p)
-    if mu1p.shape[1] == LANES and mu1d.shape[0] % PACK == 0:
-        return _pallas_batched_packed(mu1d, mu2d, ns, ms, D, S, params,
+    if (score_only and mu1p.shape[1] == LANES
+            and mu1d.shape[0] % PACK == 0):
+        return _pallas_batched_packed(mu1d, mu2d, ns, ms, D_pad, S, params,
                                       True)
-    return _affine_pallas_batched(mu1d, mu2d, ns, ms, S, params)
+    return _affine_pallas_batched(mu1d, mu2d, ns, ms, S, params,
+                                  score_only)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def _affine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params):
-    """Scores for a same-bucket batch.
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _affine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params,
+                           score_only=True):
+    """Scores (or full bands) for a same-bucket batch.
 
-    mu1d: [B, D, Ppad]; mu2d: [B, D, W, W, Ppad]; ns/ms: [B] int32.
-    Returns [B] int32 scores.
+    mu1d: [B, D, Ppad]; mu2d: [B, D, W, W, Ppad]; ns/ms: [B] int32;
+    D must be a multiple of the chunk G (callers bucket it via
+    :func:`_round_up`(D, _pick_chunk(...))).
+    Returns [B] int32 scores, or the band [B, D, Q, W, W, Ppad] when
+    ``score_only=False`` (p_last layout per pair, walked by the vmapped
+    device traceback).
     """
     S = max_shift
     W = 2 * S + 1
@@ -986,127 +1218,180 @@ def _affine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params):
     B, D = mu1d.shape[0], mu1d.shape[1]
     Ppad = mu1d.shape[-1]
     SUB = Ppad // LANES
+    interpret = not _on_tpu()
+    G = min(_pick_chunk(S, Ppad, score_only, interpret), D)
+    while D % G:
+        G //= 2
+    Dg = D // G
     # fold (B, D) so per-step blocks have the single-pair shapes
     mu1f = mu1d.reshape(B * D, SUB, LANES)
     mu2f = mu2d.reshape(B * D, W, W, SUB, LANES)
 
-    kernel = _affine_batched_kernel(S, params, SUB)
+    kernel = _affine_batched_kernel(G, S, params, SUB, score_only)
+    if score_only:
+        out_specs = pl.BlockSpec((1, 8, LANES),
+                                 lambda b, g, ns, ms: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, 8, LANES), jnp.int32)
+    else:
+        out_specs = pl.BlockSpec(
+            (G, Q, W, W, SUB, LANES),
+            lambda b, g, ns, ms: (b * Dg + g, 0, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B * D, Q, W, W, SUB, LANES),
+                                         jnp.int32)
     slab = pltpu.VMEM((Q, W, W, SUB, LANES), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, D),
+        grid=(B, Dg),
         in_specs=[
-            pl.BlockSpec((1, SUB, LANES),
-                         lambda b, d, ns, ms: (b * D + d, 0, 0),
+            pl.BlockSpec((G, SUB, LANES),
+                         lambda b, g, ns, ms: (b * Dg + g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, W, SUB, LANES),
-                         lambda b, d, ns, ms: (b * D + d, 0, 0, 0, 0),
+            pl.BlockSpec((G, W, W, SUB, LANES),
+                         lambda b, g, ns, ms: (b * Dg + g, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, LANES), lambda b, d, ns, ms: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[slab, slab],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 8, LANES), jnp.int32),
-        interpret=not _on_tpu(),
+        out_shape=out_shape,
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(ns, ms, mu1f, mu2f)
-    return out[:, 0, 0]
+    if score_only:
+        return out[:, 0, 0]
+    return out.reshape(B, D, Q, W, W, SUB * LANES)
 
 
-def _nonaffine_batched_kernel(S: int, params, SUB: int):
-    """Batched score-only non-affine kernel: grid (B, D), per-pair true
-    lengths in SMEM via scalar prefetch (same pattern as the affine
-    batched kernel; slabs carry no state axis)."""
+def _nonaffine_batched_kernel(G: int, S: int, params, SUB: int,
+                              score_only: bool):
+    """Batched non-affine kernel: grid (B, Dg), G diagonals per step,
+    per-pair true lengths in SMEM via scalar prefetch (same pattern as
+    the affine batched kernel; slabs carry no state axis)."""
     W = 2 * S + 1
     update = _make_nonaffine_update(S, params, SUB)
 
     def kernel(ns_ref, ms_ref, mu1_ref, mu2_ref, out_ref, vm1_ref,
                vm2_ref):
         b = pl.program_id(0)
-        d = pl.program_id(1)
+        g = pl.program_id(1)
 
-        @pl.when(d == 0)
+        @pl.when(g == 0)
         def _():
             vm1_ref[:] = jnp.full((W, W, SUB, LANES), INVALID, jnp.int32)
             vm2_ref[:] = jnp.full((W, W, SUB, LANES), INVALID, jnp.int32)
-            out_ref[0] = jnp.full((8, LANES), NEG_INF, jnp.int32)
-
-        val = update(d, mu1_ref[0], mu2_ref[0], vm1_ref[:], vm2_ref[:])
-        vm2_ref[:] = vm1_ref[:]
-        vm1_ref[:] = val
+            if score_only:
+                out_ref[0] = jnp.full((8, LANES), NEG_INF, jnp.int32)
 
         n = ns_ref[b]
         m = ms_ref[b]
 
-        @pl.when(d == n + m)
-        def _():
-            sub_i = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
-            lane_i = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
-            hit = (sub_i * LANES + lane_i) == n
-            score = jnp.max(jnp.where(hit, val[S, S], INVALID))
-            out_ref[0] = jnp.full((8, LANES), score, jnp.int32)
+        def body(u, carry):
+            v1, v2 = carry
+            d = g * G + u
+            val = update(d, mu1_ref[pl.ds(u, 1)][0],
+                         mu2_ref[pl.ds(u, 1)][0], v1, v2)
+            if score_only:
+                @pl.when(d == n + m)
+                def _():
+                    sub_i = jax.lax.broadcasted_iota(
+                        jnp.int32, (SUB, LANES), 0)
+                    lane_i = jax.lax.broadcasted_iota(
+                        jnp.int32, (SUB, LANES), 1)
+                    hit = (sub_i * LANES + lane_i) == n
+                    score = jnp.max(jnp.where(hit, val[S, S], INVALID))
+                    out_ref[0] = jnp.full((8, LANES), score, jnp.int32)
+            else:
+                out_ref[pl.ds(u, 1)] = val[None]
+            return val, v1
+
+        v1, v2 = jax.lax.fori_loop(0, G, body, (vm1_ref[:], vm2_ref[:]))
+        vm1_ref[:] = v1
+        vm2_ref[:] = v2
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def _nonaffine_pallas_batched_dense(mu1p, mu2p, ns, ms, D, max_shift,
-                                    params):
+                                    params, score_only=True):
     """Non-affine twin of :func:`_affine_pallas_batched_dense`."""
     S = max_shift
+    D_pad = _round_up(D, 16)
     mu1p, mu2p = _lane_pad_rows(mu1p, mu2p)
-    build = functools.partial(_diag_tables_device, S=S, D_pad=D)
+    build = functools.partial(_diag_tables_device, S=S, D_pad=D_pad)
     mu1d, mu2d = jax.vmap(build)(mu1p, mu2p)
-    if mu1p.shape[1] == LANES and mu1d.shape[0] % PACK == 0:
-        return _pallas_batched_packed(mu1d, mu2d, ns, ms, D, S, params,
+    if (score_only and mu1p.shape[1] == LANES
+            and mu1d.shape[0] % PACK == 0):
+        return _pallas_batched_packed(mu1d, mu2d, ns, ms, D_pad, S, params,
                                       False)
-    return _nonaffine_pallas_batched(mu1d, mu2d, ns, ms, S, params)
+    return _nonaffine_pallas_batched(mu1d, mu2d, ns, ms, S, params,
+                                     score_only)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def _nonaffine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _nonaffine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params,
+                              score_only=True):
     """Non-affine twin of :func:`_affine_pallas_batched`."""
     S = max_shift
     W = 2 * S + 1
     B, D = mu1d.shape[0], mu1d.shape[1]
     Ppad = mu1d.shape[-1]
     SUB = Ppad // LANES
+    interpret = not _on_tpu()
+    G = min(_pick_chunk_nonaffine(S, Ppad, score_only, interpret), D)
+    while D % G:
+        G //= 2
+    Dg = D // G
     mu1f = mu1d.reshape(B * D, SUB, LANES)
     mu2f = mu2d.reshape(B * D, W, W, SUB, LANES)
 
-    kernel = _nonaffine_batched_kernel(S, params, SUB)
+    kernel = _nonaffine_batched_kernel(G, S, params, SUB, score_only)
+    if score_only:
+        out_specs = pl.BlockSpec((1, 8, LANES),
+                                 lambda b, g, ns, ms: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, 8, LANES), jnp.int32)
+    else:
+        out_specs = pl.BlockSpec(
+            (G, W, W, SUB, LANES),
+            lambda b, g, ns, ms: (b * Dg + g, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B * D, W, W, SUB, LANES),
+                                         jnp.int32)
     slab = pltpu.VMEM((W, W, SUB, LANES), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, D),
+        grid=(B, Dg),
         in_specs=[
-            pl.BlockSpec((1, SUB, LANES),
-                         lambda b, d, ns, ms: (b * D + d, 0, 0),
+            pl.BlockSpec((G, SUB, LANES),
+                         lambda b, g, ns, ms: (b * Dg + g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, W, SUB, LANES),
-                         lambda b, d, ns, ms: (b * D + d, 0, 0, 0, 0),
+            pl.BlockSpec((G, W, W, SUB, LANES),
+                         lambda b, g, ns, ms: (b * Dg + g, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, LANES), lambda b, d, ns, ms: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[slab, slab],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 8, LANES), jnp.int32),
-        interpret=not _on_tpu(),
+        out_shape=out_shape,
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(ns, ms, mu1f, mu2f)
-    return out[:, 0, 0]
+    if score_only:
+        return out[:, 0, 0]
+    return out.reshape(B, D, W, W, SUB * LANES)
 
 
 def _on_tpu() -> bool:

@@ -103,10 +103,8 @@ def make_buckets_dense(tables, bucket_quantum: int = 64):
         N = quantize(n, bucket_quantum)
         M = quantize(m, bucket_quantum)
         b = buckets.setdefault((N, M), Bucket(N, M))
-        from ..ops.pallas_dp import _narrow_if_fits
-
-        b.mu1d.append(_narrow_if_fits(pad_table(np.asarray(mu1), N, M)))
-        b.mu2d.append(_narrow_if_fits(pad_table(np.asarray(mu2), N, M)))
+        b.mu1d.append(pad_table(np.asarray(mu1), N, M))
+        b.mu2d.append(pad_table(np.asarray(mu2), N, M))
         b.indices.append(idx)
         b.n.append(n)
         b.m.append(m)
@@ -136,8 +134,9 @@ def _device_put_sharded(arr, mesh):
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
-def _use_pallas_batched(affine: bool, mesh) -> bool:
-    """Pallas batched path: on a TPU (single-device or mesh)."""
+def _on_tpu() -> bool:
+    """engine="auto" policy: the Pallas batched path runs on a TPU
+    (single-device or mesh), the vmapped XLA scan elsewhere."""
     try:
         import jax
 
@@ -195,7 +194,7 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
     tables = list(tables)
     use_pallas = (
         engine == "pallas"
-        or (engine == "auto" and _use_pallas_batched(affine, mesh))
+        or (engine == "auto" and _on_tpu())
     )
     if use_pallas:
         from ..ops import pallas_dp
@@ -210,8 +209,15 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
                 Bp = ((B + ds - 1) // ds) * ds
             pad = Bp - B
             D = N + M + 1
-            mu1p = np.stack(b.mu1d + [b.mu1d[-1]] * pad)
-            mu2p = np.stack(b.mu2d + [b.mu2d[-1]] * pad)
+            # narrow the STACKED arrays (not per table) so a bucket always
+            # ships one dtype — per-table narrowing made the jit compile
+            # key data-dependent (one outlier pair doubled compiles)
+            mu1p = pallas_dp._narrow_if_fits(
+                np.stack(b.mu1d + [b.mu1d[-1]] * pad)
+            )
+            mu2p = pallas_dp._narrow_if_fits(
+                np.stack(b.mu2d + [b.mu2d[-1]] * pad)
+            )
             ns = np.asarray(b.n + [b.n[-1]] * pad, dtype=np.int32)
             ms = np.asarray(b.m + [b.m[-1]] * pad, dtype=np.int32)
             if mesh is not None:
@@ -257,3 +263,103 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
         for pos, idx in enumerate(b.indices):
             out[idx] = scores[pos]
     return out
+
+
+# -- batched alignments (corpus-scale traceback) ------------------------------
+#
+# The reference produces a FULL alignment per invocation
+# (/root/reference/src/bialignment.pyx:513-586); at corpus scale the repo
+# previously only batched scores.  This path batches the traceback too:
+# one fused dispatch per bucket-chunk runs the band-emitting batched
+# Pallas fill AND the vmapped on-device walk, so the host receives only
+# per-pair trace codes (O(n+m) ints each) — not bands.
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _fill_walk_affine(mu1p, mu2p, ns, ms, D, max_shift, params, _shape):
+    from ..ops import device_traceback as dtb
+    from ..ops import pallas_dp
+
+    ys = pallas_dp._affine_pallas_batched_dense(
+        mu1p, mu2p, ns, ms, D, max_shift, params, False
+    )
+    beta, gamma, delta = params
+    const = jnp.asarray(dtb._affine_const(beta, gamma, delta))
+    m1 = mu1p.astype(jnp.int32)
+    m2 = mu2p.astype(jnp.int32)
+    return dtb._affine_walk_batch(ys, m1, m2, const, max_shift, True,
+                                  ns, ms)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _fill_walk_nonaffine(mu1p, mu2p, ns, ms, D, max_shift, params, _shape):
+    from ..ops import device_traceback as dtb
+    from ..ops import pallas_dp
+    from ..ops.cases import NonAffineTables
+
+    ysb = pallas_dp._nonaffine_pallas_batched_dense(
+        mu1p, mu2p, ns, ms, D, max_shift, params, False
+    )
+    gamma, delta = params
+    tabs = NonAffineTables(gamma, delta)
+    const = jnp.asarray(tabs.const)
+    m1 = mu1p.astype(jnp.int32)
+    m2 = mu2p.astype(jnp.int32)
+    codes, steps = dtb._nonaffine_walk_batch(ysb, m1, m2, const,
+                                             max_shift, True, ns, ms)
+    # non-affine score: final-diagonal center cell (d = n+m, i = n)
+    B = mu1p.shape[0]
+    S = max_shift
+    scores = ysb[jnp.arange(B), ns + ms, S, S, ns]
+    return codes, steps, scores
+
+
+def align_batch(tables, max_shift: int, params, *, affine: bool,
+                bucket_quantum: int = 64, chunk: int = 64):
+    """Traces + scores for a batch of pairs, in input order.
+
+    Returns ``(scores, traces, complete)``: int64 scores, per-pair
+    forward trace lists (same (a, b, c, d) tuples as
+    :meth:`bialign_tpu.BiAligner.traceback`, bit-exact including the
+    reference's co-optimal tie-breaking — tests/test_batch.py), and
+    per-pair completeness flags (False = the reference's
+    incomplete-traceback warning case; non-affine walks always
+    complete).
+
+    ``chunk`` caps pairs per fused dispatch: the band for a chunk is
+    materialized in HBM (B * D * 9 * W^2 * Ppad int32), so chunking
+    bounds peak memory while the walk+fill still amortize dispatches.
+    """
+    from ..ops.pallas_dp import _narrow_if_fits
+
+    tables = list(tables)
+    buckets = make_buckets_dense(tables, bucket_quantum)
+    scores = np.zeros(len(tables), dtype=np.int64)
+    traces: list = [None] * len(tables)
+    complete = [True] * len(tables)
+    for (N, M), b in buckets.items():
+        D = N + M + 1
+        for lo in range(0, len(b.indices), chunk):
+            idxs = b.indices[lo:lo + chunk]
+            mu1p = _narrow_if_fits(np.stack(b.mu1d[lo:lo + chunk]))
+            mu2p = _narrow_if_fits(np.stack(b.mu2d[lo:lo + chunk]))
+            ns = np.asarray(b.n[lo:lo + chunk], dtype=np.int32)
+            ms = np.asarray(b.m[lo:lo + chunk], dtype=np.int32)
+            args = (jnp.asarray(mu1p), jnp.asarray(mu2p),
+                    jnp.asarray(ns), jnp.asarray(ms),
+                    D, max_shift, tuple(params), (N, M))
+            from ..ops.device_traceback import decode_walk_codes
+
+            if affine:
+                codes, steps, done, scs = jax.device_get(
+                    _fill_walk_affine(*args))
+            else:
+                codes, steps, scs = jax.device_get(
+                    _fill_walk_nonaffine(*args))
+                done = None
+            for pos, idx in enumerate(idxs):
+                traces[idx] = decode_walk_codes(codes[pos],
+                                                int(steps[pos]))
+                scores[idx] = int(scs[pos])
+                if done is not None:
+                    complete[idx] = int(done[pos]) == 1
+    return scores, traces, complete

@@ -145,3 +145,68 @@ def test_packed_batched_kernel_matches_oracle():
         engine="pallas",
     )
     assert (got_na == want_na).all(), (got_na, want_na)
+
+
+def _oracle_traces(pairs, S, beta, gamma, delta, affine):
+    from bialign_tpu.ops import traceback as tb
+
+    traces, comps = [], []
+    for mu1, mu2 in pairs:
+        if affine:
+            H = reference_dp.fill_affine(mu1, mu2, S, beta, gamma, delta)
+            tr, comp = tb.affine_traceback(H, mu1, mu2, S, beta, gamma,
+                                           delta)
+        else:
+            H = reference_dp.fill_nonaffine(mu1, mu2, S, gamma, delta)
+            tr = tb.nonaffine_traceback(H, mu1, mu2, S, gamma, delta)
+            comp = True
+        traces.append(tr)
+        comps.append(comp)
+    return traces, comps
+
+
+def test_align_batch_affine_bit_exact(pairs):
+    """Batched fill+walk traces == per-pair host walk (exact reference
+    tie-breaking), VERDICT r3 item 1."""
+    S, beta, gamma, delta = 1, -150, -50, -150
+    want_scores = _oracle_scores(pairs, S, beta, gamma, delta, True)
+    want_traces, want_comps = _oracle_traces(pairs, S, beta, gamma,
+                                             delta, True)
+    scores, traces, comps = pbatch.align_batch(
+        pairs, S, (beta, gamma, delta), affine=True, bucket_quantum=8
+    )
+    assert (scores == want_scores).all()
+    assert comps == want_comps
+    for got, want in zip(traces, want_traces):
+        assert got == want
+
+
+def test_align_batch_nonaffine_bit_exact(pairs):
+    S, gamma, delta = 2, -200, -250
+    want_scores = _oracle_scores(pairs, S, 0, gamma, delta, False)
+    want_traces, _ = _oracle_traces(pairs, S, 0, gamma, delta, False)
+    scores, traces, _ = pbatch.align_batch(
+        pairs, S, (gamma, delta), affine=False, bucket_quantum=8
+    )
+    assert (scores == want_scores).all()
+    for got, want in zip(traces, want_traces):
+        assert got == want
+
+
+def test_align_batch_64_pairs_chunked():
+    """64-pair bucket, chunk smaller than the batch (multiple fused
+    dispatches), mixed lengths — the bench workload's CPU parity tier."""
+    rng = np.random.default_rng(7)
+    pairs = [_rand_pair(rng, 4 + (i % 5), 5 + (i % 4)) for i in range(64)]
+    S, beta, gamma, delta = 1, -150, -50, -150
+    want_scores = _oracle_scores(pairs, S, beta, gamma, delta, True)
+    want_traces, want_comps = _oracle_traces(pairs, S, beta, gamma,
+                                             delta, True)
+    scores, traces, comps = pbatch.align_batch(
+        pairs, S, (beta, gamma, delta), affine=True, bucket_quantum=8,
+        chunk=24,
+    )
+    assert (scores == want_scores).all()
+    assert comps == want_comps
+    for got, want in zip(traces, want_traces):
+        assert got == want
