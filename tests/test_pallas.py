@@ -186,3 +186,16 @@ def test_wide_shift_band_parity(S):
     got, _ = dtb.affine_traceback(band, -150, -50, -150, mu1, mu2)
     wtr, _ = host_tb.affine_traceback(H, mu1, mu2, S, -150, -50, -150)
     assert [tuple(c) for c in got] == [tuple(c) for c in wtr]
+
+
+@pytest.mark.parametrize("n,m", [(7, 9), (1, 1), (0, 3), (5, 0), (20, 13)])
+def test_pallas_ms0_specialized_score(n, m):
+    """max_shift 0 score-only fast path (3 live states, no shift axes)
+    == oracle, incl. degenerate lengths — VERDICT r3 item 6."""
+    rng = np.random.default_rng(n * 13 + m)
+    mu1, mu2 = _rand_pair(rng, n, m)
+    for beta, gamma, delta in [(-150, -50, -150), (-200, -50, -210)]:
+        H = reference_dp.fill_affine(mu1, mu2, 0, beta, gamma, delta)
+        want = reference_dp.affine_score_from_band(H, n, m, 0)
+        got = pallas_dp.affine_score(mu1, mu2, 0, beta, gamma, delta)
+        assert got == want, (n, m, beta, gamma, delta)
