@@ -227,15 +227,31 @@ class BiAligner:
             elif self._params.get("lowmem"):
                 # O(sqrt(D))-memory mode: store only scan-carry checkpoints,
                 # rematerialize band blocks during traceback (bit-exact).
-                # The checkpointed fill is the XLA wavefront scan for BOTH
-                # engine='xla' and engine='pallas' (the Pallas kernel has no
-                # checkpointing variant); memory savings are ~O(sqrt(D)) on
-                # the affine path, ~2x non-affine (blocked mu tables stay
-                # O(D)).
+                # engine='pallas' runs the checkpoint-emitting Pallas kernel
+                # (fill + block remat both on the fast kernel); engine='xla'
+                # the checkpointed XLA scan.  Memory savings are
+                # ~O(sqrt(D)) on the affine path, ~2x non-affine (blocked
+                # mu tables stay O(D)).
                 from .ops import checkpoint_dp
 
                 block = self._params.get("checkpoint_block")
-                if self._affine:
+                if engine == "pallas":
+                    if self._affine:
+                        self._H = (
+                            checkpoint_dp.fill_affine_checkpoint_pallas(
+                                self.mu1, self.mu2, self.max_shift,
+                                self.beta, self.gamma, self.delta,
+                                block=block,
+                            )
+                        )
+                    else:
+                        self._H = (
+                            checkpoint_dp.fill_nonaffine_checkpoint_pallas(
+                                self.mu1, self.mu2, self.max_shift,
+                                self.gamma, self.delta, block=block,
+                            )
+                        )
+                elif self._affine:
                     self._H = checkpoint_dp.fill_affine_checkpoint(
                         self.mu1, self.mu2, self.max_shift, self.beta,
                         self.gamma, self.delta, block=block,

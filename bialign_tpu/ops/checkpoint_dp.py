@@ -67,18 +67,24 @@ class CheckpointBand:
     ``b*C - 2``) entering block ``b``; ``final`` is the slab of diagonal
     ``n + m`` (score + traceback start).  ``db/mu1b/mu2b`` are the blocked
     scan inputs needed to recompute any block.
+
+    ``p_last``: band layout flag — False for the XLA scan fill
+    (``[.., P, W, W]``), True for the Pallas kernel fill
+    (``[.., W, W, P]``, the kernel's lane-major layout); the blockwise
+    walks and cell gathers handle both.
     """
 
     ckpts: jax.Array    # [NB, 2, Q, P, W, W] affine / [NB, 2, P, W, W]
     final: jax.Array    # [Q, P, W, W] / [P, W, W]
     db: jax.Array       # [NB, C]
     mu1b: jax.Array     # [NB, C, P]
-    mu2b: jax.Array     # [NB, C, P, W, W]
+    mu2b: jax.Array     # [NB, C, P, W, W] (p_last: [NB, C, W, W, P])
     n: int
     m: int
     max_shift: int
     affine: bool
     params: tuple       # (beta, gamma, delta) / (gamma, delta)
+    p_last: bool = False
 
     @property
     def block(self) -> int:
@@ -87,14 +93,30 @@ class CheckpointBand:
     def final_score(self) -> int:
         S = self.max_shift
         if self.affine:
-            return int(jax.device_get(
-                jnp.max(self.final[:, self.n, S, S])
-            ))
-        return int(jax.device_get(self.final[self.n, S, S]))
+            fin = (self.final[:, S, S, self.n] if self.p_last
+                   else self.final[:, self.n, S, S])
+            return int(jax.device_get(jnp.max(fin)))
+        fin = (self.final[S, S, self.n] if self.p_last
+               else self.final[self.n, S, S])
+        return int(jax.device_get(fin))
 
     def _recompute(self, b: int) -> jax.Array:
-        """Rematerialize block b; returns ys_ext[C+2, (Q,) P, W, W] covering
+        """Rematerialize block b; returns ys_ext[C+2, (Q,) ...] covering
         diagonals [b*C - 2, (b+1)*C)."""
+        if self.p_last:
+            from . import pallas_dp
+
+            interpret = not pallas_dp._on_tpu()
+            fn = (pallas_dp._affine_pallas_block if self.affine
+                  else pallas_dp._nonaffine_pallas_block)
+            d0 = jnp.asarray([b * self.block], dtype=jnp.int32)
+            ys = fn(self.ckpts[b], self.mu1b[b], self.mu2b[b], d0,
+                    self.max_shift, self.params, interpret)
+            # prepend the checkpoint slabs: diagonals d0-2, d0-1
+            return jnp.concatenate(
+                [self.ckpts[b, 1][None], self.ckpts[b, 0][None], ys],
+                axis=0,
+            )
         fn = _affine_block if self.affine else _nonaffine_block
         return fn(self.ckpts[b], self.db[b], self.mu1b[b], self.mu2b[b],
                   self.max_shift, self.params)
@@ -111,9 +133,11 @@ class CheckpointBand:
             ys_ext = np.asarray(self._recompute(int(b)))
             sel = d // C == b
             ii, jj, kk, ll = (idxs[sel, c] for c in range(4))
-            out[sel] = ys_ext[
-                ii + jj - int(b) * C + 2, ii, kk - ii + S, ll - jj + S
-            ]
+            dd = ii + jj - int(b) * C + 2
+            if self.p_last:
+                out[sel] = ys_ext[dd, kk - ii + S, ll - jj + S, ii]
+            else:
+                out[sel] = ys_ext[dd, ii, kk - ii + S, ll - jj + S]
         return out
 
 
@@ -208,6 +232,85 @@ def fill_nonaffine_checkpoint(mu1, mu2, max_shift, gamma, delta, *,
                           params=params)
 
 
+# -- Pallas checkpointed fill (VERDICT r3 item 5) -----------------------------
+
+def _pallas_ckpt_prep(mu1, mu2, S: int, block: int | None):
+    """p_last diagonal tables + the Pallas block size.
+
+    C is rounded to the kernel's diagonal bucket quantum so C is a
+    multiple of every admissible chunk G and divides D_pad."""
+    from . import pallas_dp
+
+    n = mu1.shape[0] - 1
+    m = mu1.shape[1] - 1
+    D = n + m + 1
+    interpret = not pallas_dp._on_tpu()
+    q = (pallas_dp._D_QUANTUM_INTERPRET if interpret
+         else pallas_dp._D_QUANTUM_TPU)
+    C = ((max(block or default_block(D), q) + q - 1) // q) * q
+    D_pad = ((D + C - 1) // C) * C
+    mu1d, mu2d = pallas_dp._diag_mu_tables_plast(
+        np.asarray(mu1), np.asarray(mu2), S, D_pad
+    )
+    return mu1d, mu2d, n, m, C, D_pad, interpret
+
+
+def fill_affine_checkpoint_pallas(mu1, mu2, max_shift, beta, gamma, delta,
+                                  *, block: int | None = None
+                                  ) -> CheckpointBand:
+    """Affine checkpointed fill on the Pallas kernel: the score-only
+    VMEM-resident fill spills its carry slabs to HBM once per C
+    diagonals; traceback blocks rematerialize on the same kernel
+    (reference hot loop bialignment.pyx:474-509 at lengths whose full
+    band exceeds HBM)."""
+    from . import pallas_dp
+
+    S = max_shift
+    mu1d, mu2d, n, m, C, D_pad, interpret = _pallas_ckpt_prep(
+        mu1, mu2, S, block
+    )
+    params = (beta, gamma, delta)
+    d_last = jnp.asarray([n + m], dtype=jnp.int32)
+    final, ckpts = pallas_dp._affine_pallas_ckpt(
+        mu1d, mu2d, d_last, S, params, C, interpret
+    )
+    NB = D_pad // C
+    W = 2 * S + 1
+    P = mu1d.shape[1]
+    db = jnp.arange(D_pad, dtype=jnp.int32).reshape(NB, C)
+    mu1b = mu1d.reshape(NB, C, P)
+    mu2b = mu2d.reshape(NB, C, W, W, P)
+    return CheckpointBand(ckpts=ckpts, final=final[0], db=db, mu1b=mu1b,
+                          mu2b=mu2b, n=n, m=m, max_shift=S, affine=True,
+                          params=params, p_last=True)
+
+
+def fill_nonaffine_checkpoint_pallas(mu1, mu2, max_shift, gamma, delta, *,
+                                     block: int | None = None
+                                     ) -> CheckpointBand:
+    """Non-affine twin of :func:`fill_affine_checkpoint_pallas`."""
+    from . import pallas_dp
+
+    S = max_shift
+    mu1d, mu2d, n, m, C, D_pad, interpret = _pallas_ckpt_prep(
+        mu1, mu2, S, block
+    )
+    params = (gamma, delta)
+    d_last = jnp.asarray([n + m], dtype=jnp.int32)
+    final, ckpts = pallas_dp._nonaffine_pallas_ckpt(
+        mu1d, mu2d, d_last, S, params, C, interpret
+    )
+    NB = D_pad // C
+    W = 2 * S + 1
+    P = mu1d.shape[1]
+    db = jnp.arange(D_pad, dtype=jnp.int32).reshape(NB, C)
+    mu1b = mu1d.reshape(NB, C, P)
+    mu2b = mu2d.reshape(NB, C, W, W, P)
+    return CheckpointBand(ckpts=ckpts, final=final[0], db=db, mu1b=mu1b,
+                          mu2b=mu2b, n=n, m=m, max_shift=S, affine=False,
+                          params=params, p_last=True)
+
+
 # -- block rematerialisation --------------------------------------------------
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
@@ -242,8 +345,9 @@ def _blk_cap(C: int, S: int) -> int:
     return 2 * C + 4 * S + 8
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def _affine_blk_walk(ys_ext, mu1, mu2, case_const, S, n, C, d0, st0):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 9))
+def _affine_blk_walk(ys_ext, mu1, mu2, case_const, S, n, C, d0, st0,
+                     p_last=False):
     m = mu1.shape[1] - 1
     Lblk = _blk_cap(C, S)
 
@@ -257,7 +361,10 @@ def _affine_blk_walk(ys_ext, mu1, mu2, case_const, S, n, C, d0, st0):
     CODES = jnp.asarray(_encode_col(col_t))
 
     def cell(q, i, j, sk, sl):
-        return ys_ext[jnp.clip(i + j - d0 + 2, 0, C + 1), q, i, sk, sl]
+        dd = jnp.clip(i + j - d0 + 2, 0, C + 1)
+        if p_last:
+            return ys_ext[dd, q, sk, sl, i]
+        return ys_ext[dd, q, i, sk, sl]
 
     def cond(st):
         return (st["done"] == 0) & (st["i"] + st["j"] >= d0) \
@@ -327,8 +434,9 @@ def _affine_blk_walk(ys_ext, mu1, mu2, case_const, S, n, C, d0, st0):
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def _nonaffine_blk_walk(ys_ext, mu1, mu2, case_const, S, n, C, d0, st0):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 9))
+def _nonaffine_blk_walk(ys_ext, mu1, mu2, case_const, S, n, C, d0, st0,
+                        p_last=False):
     m = mu1.shape[1] - 1
     Lblk = _blk_cap(C, S)
 
@@ -339,7 +447,10 @@ def _nonaffine_blk_walk(ys_ext, mu1, mu2, case_const, S, n, C, d0, st0):
     CODES = jnp.asarray(_encode_col(np.asarray(NONAFFINE_COLS)))
 
     def cell(i_, j_, sk_, sl_):
-        return ys_ext[jnp.clip(i_ + j_ - d0 + 2, 0, C + 1), i_, sk_, sl_]
+        dd = jnp.clip(i_ + j_ - d0 + 2, 0, C + 1)
+        if p_last:
+            return ys_ext[dd, sk_, sl_, i_]
+        return ys_ext[dd, i_, sk_, sl_]
 
     def cond(st):
         at_origin = (st["i"] == 0) & (st["j"] == 0) & (st["k"] == 0) \
@@ -426,7 +537,9 @@ def affine_traceback(cb: CheckpointBand, beta: int, gamma: int, delta: int,
     mu2j = jnp.asarray(mu2)
 
     # start state (pyx:573-582): best final score, ties by intrinsic shift
-    final = np.asarray(jax.device_get(cb.final[:, n, S, S]))
+    final = np.asarray(jax.device_get(
+        cb.final[:, S, S, n] if cb.p_last else cb.final[:, n, S, S]
+    ))
     score = final.max()
     intrinsic = np.asarray(
         [abs(s[0] - s[2]) + abs(s[1] - s[3]) for s in STATES]
@@ -444,7 +557,7 @@ def affine_traceback(cb: CheckpointBand, beta: int, gamma: int, delta: int,
     while b >= 0:
         ys_ext = cb._recompute(b)
         out = _affine_blk_walk(ys_ext, mu1j, mu2j, const, S, n, C,
-                               jnp.int32(b * C), st)
+                               jnp.int32(b * C), st, cb.p_last)
         out = jax.device_get(out)
         codes.extend(out["trace"][: int(out["step"])].tolist())
         done = int(out["done"])
@@ -480,7 +593,7 @@ def nonaffine_traceback(cb: CheckpointBand, gamma: int, delta: int, mu1,
     while b >= 0:
         ys_ext = cb._recompute(b)
         out = _nonaffine_blk_walk(ys_ext, mu1j, mu2j, const, S, n, C,
-                                  jnp.int32(b * C), st)
+                                  jnp.int32(b * C), st, cb.p_last)
         out = jax.device_get(out)
         codes.extend(out["trace"][: int(out["step"])].tolist())
         at_origin = (

@@ -1481,3 +1481,365 @@ def affine_scan(mu1d, mu2d, n, m, max_shift, params, score_only=False):
     if score_only:
         return ys[0], None
     return ys[n + m], ys[:n + m + 1]   # padded chunk tail is garbage
+
+
+# -- checkpointed (lowmem) fill ----------------------------------------------
+#
+# The Pallas twins of checkpoint_dp's XLA checkpoint scan: the score-only
+# fill additionally spills its VMEM carry slabs to HBM once per C
+# diagonals (the entering state of each block), and a block kernel
+# rematerializes any C-diagonal band window from its checkpoint for the
+# blockwise traceback.  This closes the round-3 gap where engine="pallas"
+# + lowmem silently ran the XLA scan (reference hot loop being scaled:
+# bialignment.pyx:474-509 at lengths one chip's HBM band cannot hold).
+
+def _affine_ckpt_kernel(G: int, CG: int, S: int, params, SUB: int):
+    """Score-only single-pair kernel that also emits per-block carry
+    checkpoints (the slabs of diagonals b*C-1, b*C-2 entering block b);
+    CG = C // G grid steps per checkpoint block."""
+    Q = N_STATES
+    W = 2 * S + 1
+    update = _make_update(S, params, SUB)
+
+    def kernel(d_last_ref, mu1_ref, mu2_ref, out_ref, ck_ref, vm1_ref,
+               vm2_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            vm1_ref[:] = jnp.full((Q, W, W, SUB, LANES), INVALID, jnp.int32)
+            vm2_ref[:] = jnp.full((Q, W, W, SUB, LANES), INVALID, jnp.int32)
+
+        @pl.when(g % CG == 0)
+        def _():
+            ck_ref[0, 0] = vm1_ref[:]
+            ck_ref[0, 1] = vm2_ref[:]
+
+        def body(u, carry):
+            v1, v2 = carry
+            d = g * G + u
+            val = update(d, mu1_ref[pl.ds(u, 1)][0],
+                         mu2_ref[pl.ds(u, 1)][0], v1, v2)
+
+            @pl.when(d == d_last_ref[0])
+            def _():
+                out_ref[0] = val
+
+            return val, v1
+
+        v1, v2 = jax.lax.fori_loop(0, G, body, (vm1_ref[:], vm2_ref[:]))
+        vm1_ref[:] = v1
+        vm2_ref[:] = v2
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _affine_pallas_ckpt(mu1d, mu2d, d_last, max_shift, params, C,
+                        interpret):
+    """Checkpointed score-only fill.  mu1d: [D_pad, Ppad] (D_pad a
+    multiple of C); returns (final_slab [1, Q, W, W, P],
+    ckpts [NB, 2, Q, W, W, P])."""
+    S = max_shift
+    W = 2 * S + 1
+    Q = N_STATES
+    D_pad, Ppad = mu1d.shape
+    SUB = Ppad // LANES
+    G = min(_pick_chunk(S, Ppad, True, interpret), C)
+    while C % G:
+        G //= 2
+    CG = C // G
+    Dg = D_pad // G
+    NB = D_pad // C
+
+    mu1t = mu1d.reshape(D_pad, SUB, LANES)
+    mu2t = mu2d.reshape(D_pad, W, W, SUB, LANES)
+    kernel = _affine_ckpt_kernel(G, CG, S, params, SUB)
+    slab = pltpu.VMEM((Q, W, W, SUB, LANES), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Dg,),
+        in_specs=[
+            pl.BlockSpec((G, SUB, LANES), lambda g, dl: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, W, W, SUB, LANES),
+                         lambda g, dl: (g, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Q, W, W, SUB, LANES),
+                         lambda g, dl: (0, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, Q, W, W, SUB, LANES),
+                         lambda g, dl: (g // CG, 0, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[slab, slab],
+    )
+    out, ck = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Q, W, W, SUB, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((NB, 2, Q, W, W, SUB, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(d_last, mu1t, mu2t)
+    return (out.reshape(1, Q, W, W, SUB * LANES),
+            ck.reshape(NB, 2, Q, W, W, SUB * LANES))
+
+
+def _affine_block_kernel(G: int, S: int, params, SUB: int):
+    """Band kernel for ONE checkpoint block: initial carry from the
+    block's checkpoint, absolute diagonal offset d0 via scalar prefetch."""
+    Q = N_STATES
+    W = 2 * S + 1
+    update = _make_update(S, params, SUB)
+
+    def kernel(d0_ref, init_ref, mu1_ref, mu2_ref, out_ref, vm1_ref,
+               vm2_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            vm1_ref[:] = init_ref[0]
+            vm2_ref[:] = init_ref[1]
+
+        def body(u, carry):
+            v1, v2 = carry
+            d = d0_ref[0] + g * G + u
+            val = update(d, mu1_ref[pl.ds(u, 1)][0],
+                         mu2_ref[pl.ds(u, 1)][0], v1, v2)
+            out_ref[pl.ds(u, 1)] = val[None]
+            return val, v1
+
+        v1, v2 = jax.lax.fori_loop(0, G, body, (vm1_ref[:], vm2_ref[:]))
+        vm1_ref[:] = v1
+        vm2_ref[:] = v2
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _affine_pallas_block(ck, mu1blk, mu2blk, d0, max_shift, params,
+                         interpret):
+    """Rematerialize one block's band from its checkpoint.
+
+    ck: [2, Q, W, W, P]; mu1blk: [C, P]; mu2blk: [C, W, W, P]; d0: [1]
+    int32 (the block's first diagonal).  Returns ys [C, Q, W, W, P]
+    (p_last layout).
+    """
+    S = max_shift
+    W = 2 * S + 1
+    Q = N_STATES
+    C, Ppad = mu1blk.shape
+    SUB = Ppad // LANES
+    G = min(_pick_chunk(S, Ppad, False, interpret), C)
+    while C % G:
+        G //= 2
+    Cg = C // G
+
+    ckt = ck.reshape(2, Q, W, W, SUB, LANES)
+    mu1t = mu1blk.reshape(C, SUB, LANES)
+    mu2t = mu2blk.reshape(C, W, W, SUB, LANES)
+    kernel = _affine_block_kernel(G, S, params, SUB)
+    slab = pltpu.VMEM((Q, W, W, SUB, LANES), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Cg,),
+        in_specs=[
+            pl.BlockSpec((2, Q, W, W, SUB, LANES),
+                         lambda g, d0: (0, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, SUB, LANES), lambda g, d0: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, W, W, SUB, LANES),
+                         lambda g, d0: (g, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, Q, W, W, SUB, LANES),
+                               lambda g, d0: (g, 0, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[slab, slab],
+    )
+    ys = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C, Q, W, W, SUB, LANES),
+                                       jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(d0, ckt, mu1t, mu2t)
+    return ys.reshape(C, Q, W, W, SUB * LANES)
+
+
+def _nonaffine_ckpt_kernel(G: int, CG: int, S: int, params, SUB: int):
+    """Non-affine twin of :func:`_affine_ckpt_kernel` (no state axis)."""
+    W = 2 * S + 1
+    update = _make_nonaffine_update(S, params, SUB)
+
+    def kernel(d_last_ref, mu1_ref, mu2_ref, out_ref, ck_ref, vm1_ref,
+               vm2_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            vm1_ref[:] = jnp.full((W, W, SUB, LANES), INVALID, jnp.int32)
+            vm2_ref[:] = jnp.full((W, W, SUB, LANES), INVALID, jnp.int32)
+
+        @pl.when(g % CG == 0)
+        def _():
+            ck_ref[0, 0] = vm1_ref[:]
+            ck_ref[0, 1] = vm2_ref[:]
+
+        def body(u, carry):
+            v1, v2 = carry
+            d = g * G + u
+            val = update(d, mu1_ref[pl.ds(u, 1)][0],
+                         mu2_ref[pl.ds(u, 1)][0], v1, v2)
+
+            @pl.when(d == d_last_ref[0])
+            def _():
+                out_ref[0] = val
+
+            return val, v1
+
+        v1, v2 = jax.lax.fori_loop(0, G, body, (vm1_ref[:], vm2_ref[:]))
+        vm1_ref[:] = v1
+        vm2_ref[:] = v2
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _nonaffine_pallas_ckpt(mu1d, mu2d, d_last, max_shift, params, C,
+                           interpret):
+    S = max_shift
+    W = 2 * S + 1
+    D_pad, Ppad = mu1d.shape
+    SUB = Ppad // LANES
+    G = min(_pick_chunk_nonaffine(S, Ppad, True, interpret), C)
+    while C % G:
+        G //= 2
+    CG = C // G
+    Dg = D_pad // G
+    NB = D_pad // C
+
+    mu1t = mu1d.reshape(D_pad, SUB, LANES)
+    mu2t = mu2d.reshape(D_pad, W, W, SUB, LANES)
+    kernel = _nonaffine_ckpt_kernel(G, CG, S, params, SUB)
+    slab = pltpu.VMEM((W, W, SUB, LANES), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Dg,),
+        in_specs=[
+            pl.BlockSpec((G, SUB, LANES), lambda g, dl: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, W, W, SUB, LANES),
+                         lambda g, dl: (g, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, W, W, SUB, LANES),
+                         lambda g, dl: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, W, W, SUB, LANES),
+                         lambda g, dl: (g // CG, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[slab, slab],
+    )
+    out, ck = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, W, W, SUB, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((NB, 2, W, W, SUB, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(d_last, mu1t, mu2t)
+    return (out.reshape(1, W, W, SUB * LANES),
+            ck.reshape(NB, 2, W, W, SUB * LANES))
+
+
+def _nonaffine_block_kernel(G: int, S: int, params, SUB: int):
+    W = 2 * S + 1
+    update = _make_nonaffine_update(S, params, SUB)
+
+    def kernel(d0_ref, init_ref, mu1_ref, mu2_ref, out_ref, vm1_ref,
+               vm2_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            vm1_ref[:] = init_ref[0]
+            vm2_ref[:] = init_ref[1]
+
+        def body(u, carry):
+            v1, v2 = carry
+            d = d0_ref[0] + g * G + u
+            val = update(d, mu1_ref[pl.ds(u, 1)][0],
+                         mu2_ref[pl.ds(u, 1)][0], v1, v2)
+            out_ref[pl.ds(u, 1)] = val[None]
+            return val, v1
+
+        v1, v2 = jax.lax.fori_loop(0, G, body, (vm1_ref[:], vm2_ref[:]))
+        vm1_ref[:] = v1
+        vm2_ref[:] = v2
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _nonaffine_pallas_block(ck, mu1blk, mu2blk, d0, max_shift, params,
+                            interpret):
+    S = max_shift
+    W = 2 * S + 1
+    C, Ppad = mu1blk.shape
+    SUB = Ppad // LANES
+    G = min(_pick_chunk_nonaffine(S, Ppad, False, interpret), C)
+    while C % G:
+        G //= 2
+    Cg = C // G
+
+    ckt = ck.reshape(2, W, W, SUB, LANES)
+    mu1t = mu1blk.reshape(C, SUB, LANES)
+    mu2t = mu2blk.reshape(C, W, W, SUB, LANES)
+    kernel = _nonaffine_block_kernel(G, S, params, SUB)
+    slab = pltpu.VMEM((W, W, SUB, LANES), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Cg,),
+        in_specs=[
+            pl.BlockSpec((2, W, W, SUB, LANES),
+                         lambda g, d0: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, SUB, LANES), lambda g, d0: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, W, W, SUB, LANES),
+                         lambda g, d0: (g, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, W, W, SUB, LANES),
+                               lambda g, d0: (g, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[slab, slab],
+    )
+    ys = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C, W, W, SUB, LANES), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(d0, ckt, mu1t, mu2t)
+    return ys.reshape(C, W, W, SUB * LANES)
