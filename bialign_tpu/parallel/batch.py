@@ -188,8 +188,15 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
 
     ``engine``: "auto" (Pallas batched kernel on TPU, vmapped XLA scan
     otherwise), "pallas", or "xla".
+
+    ``tables`` may also be a :class:`PreparedBatch` (device-resident
+    buckets built once): scoring then skips the bucket rebuild and the
+    host->device transfer entirely (steady-state serving path).
     """
     import jax.numpy as jnp
+
+    if isinstance(tables, PreparedBatch):
+        return tables.scores()
 
     tables = list(tables)
     use_pallas = (
@@ -363,3 +370,71 @@ def align_batch(tables, max_shift: int, params, *, affine: bool,
                 if done is not None:
                     complete[idx] = int(done[pos]) == 1
     return scores, traces, complete
+
+
+# -- prepared (cached) device buckets -----------------------------------------
+
+class PreparedBatch:
+    """Device-resident buckets built once, scored many times.
+
+    ``score_batch`` rebuilds buckets and re-transfers every table per
+    call — right for one-shot streams, wasteful for steady-state serving
+    where the same corpus (or the same shapes) is scored repeatedly.
+    ``PreparedBatch`` does the host-side packing and the host->device
+    transfer once; :meth:`scores` then runs only the kernels.
+
+    Accepted by :func:`score_batch` in place of ``tables``.
+    """
+
+    def __init__(self, tables, max_shift: int, params, *, affine: bool,
+                 mesh: Mesh | None = None, bucket_quantum: int = 64):
+        from ..ops.pallas_dp import _narrow_if_fits
+
+        tables = list(tables)
+        self.max_shift = max_shift
+        self.params = tuple(params)
+        self.affine = affine
+        self.mesh = mesh
+        self.n_pairs = len(tables)
+        self._buckets = []
+        for (N, M), b in make_buckets_dense(tables, bucket_quantum).items():
+            B = len(b.indices)
+            Bp = B
+            if mesh is not None:
+                ds = mesh.shape["data"]
+                Bp = ((B + ds - 1) // ds) * ds
+            pad = Bp - B
+            mu1p = _narrow_if_fits(np.stack(b.mu1d + [b.mu1d[-1]] * pad))
+            mu2p = _narrow_if_fits(np.stack(b.mu2d + [b.mu2d[-1]] * pad))
+            ns = np.asarray(b.n + [b.n[-1]] * pad, dtype=np.int32)
+            ms = np.asarray(b.m + [b.m[-1]] * pad, dtype=np.int32)
+            dev = [
+                _device_put_sharded(jnp.asarray(x), mesh)
+                for x in (mu1p, mu2p, ns, ms)
+            ]
+            self._buckets.append((N, M, b.indices, dev))
+
+    def scores(self) -> np.ndarray:
+        """Score every pair; returns int64 scores in the original input
+        order.  Only kernel dispatches — no bucket rebuild, no transfer."""
+        from ..ops import pallas_dp
+
+        out = np.zeros(self.n_pairs, dtype=np.int64)
+        for (N, M, indices, dev) in self._buckets:
+            D = N + M + 1
+            if self.mesh is not None:
+                mu1p, mu2p, ns, ms = dev
+                scores = _pallas_scores_sharded(
+                    mu1p, mu2p, ns, ms, D, self.max_shift, self.params,
+                    self.mesh, self.affine,
+                )
+            else:
+                kern = (pallas_dp._affine_pallas_batched_dense
+                        if self.affine
+                        else pallas_dp._nonaffine_pallas_batched_dense)
+                scores = np.asarray(jax.device_get(
+                    kern(*dev, D, self.max_shift, self.params)
+                ))
+            for pos, idx in enumerate(indices):
+                out[idx] = scores[pos]
+        return out

@@ -210,3 +210,31 @@ def test_align_batch_64_pairs_chunked():
     assert comps == want_comps
     for got, want in zip(traces, want_traces):
         assert got == want
+
+
+def test_prepared_batch_matches_score_batch(pairs):
+    """PreparedBatch (cached device buckets) == fresh score_batch."""
+    S, beta, gamma, delta = 1, -150, -50, -150
+    want = pbatch.score_batch(
+        pairs, S, (beta, gamma, delta), affine=True, bucket_quantum=8,
+        engine="pallas",
+    )
+    prep = pbatch.PreparedBatch(pairs, S, (beta, gamma, delta),
+                                affine=True, bucket_quantum=8)
+    got = prep.scores()
+    assert (got == want).all()
+    # second call reuses the cached device arrays
+    assert (prep.scores() == want).all()
+    # and score_batch accepts the prepared object directly
+    assert (pbatch.score_batch(prep, S, (beta, gamma, delta),
+                               affine=True) == want).all()
+
+
+def test_prepared_batch_sharded(pairs):
+    S, beta, gamma, delta = 1, -150, -50, -150
+    devices = np.array(jax.devices())
+    mesh = Mesh(devices, ("data",))
+    want = _oracle_scores(pairs, S, beta, gamma, delta, True)
+    prep = pbatch.PreparedBatch(pairs, S, (beta, gamma, delta),
+                                affine=True, mesh=mesh, bucket_quantum=16)
+    assert (prep.scores() == want).all()
