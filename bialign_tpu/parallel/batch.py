@@ -320,8 +320,34 @@ def _fill_walk_nonaffine(mu1p, mu2p, ns, ms, D, max_shift, params, _shape):
     return codes, steps, scores
 
 
+def _align_sharded(mu1p, mu2p, ns, ms, D, max_shift, params, mesh,
+                   affine):
+    """shard_map of the fused fill+walk over the "data" mesh axis: each
+    device fills and walks its local slice of the bucket's batch axis
+    (per-pair DP and traceback are chip-local; only the tiny code/score
+    gather crosses chips via the output sharding)."""
+    inner = _fill_walk_affine if affine else _fill_walk_nonaffine
+
+    def shard_fn(m1, m2, nn, mm):
+        return inner(m1, m2, nn, mm, D, max_shift, tuple(params), None)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    args = [
+        _device_put_sharded(jnp.asarray(x), mesh)
+        for x in (mu1p, mu2p, ns, ms)
+    ]
+    return jax.device_get(jax.jit(fn)(*args))
+
+
 def align_batch(tables, max_shift: int, params, *, affine: bool,
-                bucket_quantum: int = 64, chunk: int = 64):
+                mesh: Mesh | None = None, bucket_quantum: int = 64,
+                chunk: int = 64):
     """Traces + scores for a batch of pairs, in input order.
 
     Returns ``(scores, traces, complete)``: int64 scores, per-pair
@@ -335,6 +361,11 @@ def align_batch(tables, max_shift: int, params, *, affine: bool,
     ``chunk`` caps pairs per fused dispatch: the band for a chunk is
     materialized in HBM (B * D * 9 * W^2 * Ppad int32), so chunking
     bounds peak memory while the walk+fill still amortize dispatches.
+
+    With ``mesh``, each chunk's batch axis is sharded over mesh axis
+    "data" (chunk is padded to a multiple of the axis size): fills and
+    walks run chip-local, scaling the BASELINE.md pair-alignments/s
+    north star to N chips/hosts.
     """
     from ..ops.pallas_dp import _narrow_if_fits
 
@@ -347,22 +378,42 @@ def align_batch(tables, max_shift: int, params, *, affine: bool,
         D = N + M + 1
         for lo in range(0, len(b.indices), chunk):
             idxs = b.indices[lo:lo + chunk]
-            mu1p = _narrow_if_fits(np.stack(b.mu1d[lo:lo + chunk]))
-            mu2p = _narrow_if_fits(np.stack(b.mu2d[lo:lo + chunk]))
-            ns = np.asarray(b.n[lo:lo + chunk], dtype=np.int32)
-            ms = np.asarray(b.m[lo:lo + chunk], dtype=np.int32)
-            args = (jnp.asarray(mu1p), jnp.asarray(mu2p),
-                    jnp.asarray(ns), jnp.asarray(ms),
-                    D, max_shift, tuple(params), (N, M))
+            B = len(idxs)
+            Bp = B
+            if mesh is not None:
+                ds = mesh.shape["data"]
+                Bp = ((B + ds - 1) // ds) * ds
+            pad = Bp - B
+            sl = slice(lo, lo + chunk)
+            mu1p = _narrow_if_fits(
+                np.stack(b.mu1d[sl] + [b.mu1d[sl][-1]] * pad))
+            mu2p = _narrow_if_fits(
+                np.stack(b.mu2d[sl] + [b.mu2d[sl][-1]] * pad))
+            ns = np.asarray(b.n[sl] + [b.n[sl][-1]] * pad,
+                            dtype=np.int32)
+            ms = np.asarray(b.m[sl] + [b.m[sl][-1]] * pad,
+                            dtype=np.int32)
             from ..ops.device_traceback import decode_walk_codes
 
-            if affine:
-                codes, steps, done, scs = jax.device_get(
-                    _fill_walk_affine(*args))
+            if mesh is not None:
+                out = _align_sharded(mu1p, mu2p, ns, ms, D, max_shift,
+                                     params, mesh, affine)
+                if affine:
+                    codes, steps, done, scs = out
+                else:
+                    codes, steps, scs = out
+                    done = None
             else:
-                codes, steps, scs = jax.device_get(
-                    _fill_walk_nonaffine(*args))
-                done = None
+                args = (jnp.asarray(mu1p), jnp.asarray(mu2p),
+                        jnp.asarray(ns), jnp.asarray(ms),
+                        D, max_shift, tuple(params), (N, M))
+                if affine:
+                    codes, steps, done, scs = jax.device_get(
+                        _fill_walk_affine(*args))
+                else:
+                    codes, steps, scs = jax.device_get(
+                        _fill_walk_nonaffine(*args))
+                    done = None
             for pos, idx in enumerate(idxs):
                 traces[idx] = decode_walk_codes(codes[pos],
                                                 int(steps[pos]))

@@ -238,3 +238,22 @@ def test_prepared_batch_sharded(pairs):
     prep = pbatch.PreparedBatch(pairs, S, (beta, gamma, delta),
                                 affine=True, mesh=mesh, bucket_quantum=16)
     assert (prep.scores() == want).all()
+
+
+def test_align_batch_sharded_bit_exact(pairs):
+    """Sharded alignments: fused fill+walk under shard_map over an
+    8-device data mesh == per-pair host walk."""
+    S, beta, gamma, delta = 1, -150, -50, -150
+    devices = np.array(jax.devices())
+    mesh = Mesh(devices, ("data",))
+    want_scores = _oracle_scores(pairs, S, beta, gamma, delta, True)
+    want_traces, want_comps = _oracle_traces(pairs, S, beta, gamma,
+                                             delta, True)
+    scores, traces, comps = pbatch.align_batch(
+        pairs, S, (beta, gamma, delta), affine=True, mesh=mesh,
+        bucket_quantum=16,
+    )
+    assert (scores == want_scores).all()
+    assert comps == want_comps
+    for got, want in zip(traces, want_traces):
+        assert got == want

@@ -8,6 +8,9 @@ full decode on the attached accelerator and asserts golden outputs:
   max_shift 2                          -> SCORE 6300 + 6 default lines
 * toy protein, affine, sorted outmode  -> SCORE 48500 + 17 sorted lines
 * DNA-Pol-1 prefix 150x150, affine     -> SCORE 117180 (fill + traceback)
+* DNA-Pol-1 FULL 928x933 (README CLI flags, reference README.md:159-162)
+  -> SCORE 761500 + all six SURVEY.md §8 md5 row anchors — re-proven at
+  HEAD every round (VERDICT r3 item 4)
 
 Each case reports cold (first-call, incl. compile) and warm wall times.
 Writes ONE JSON object to TPUCHECK_r0N.json (argv[1], default
@@ -68,7 +71,7 @@ def _run_case(name, mol, params, want_score, want_lines, engine="pallas"):
     return res
 
 
-def _dnapol_prefix_case():
+def _dnapol_mols():
     from bialign_tpu.data import example_path
     from bialign_tpu.io.cfssp import read_molecule_from_file
 
@@ -78,6 +81,11 @@ def _dnapol_prefix_case():
     seqB, strB = read_molecule_from_file(
         example_path("DNAPolymerase1_Xanthomonas.cfssp"), "Protein"
     )
+    return seqA, strA, seqB, strB
+
+
+def _dnapol_prefix_case():
+    seqA, strA, seqB, strB = _dnapol_mols()
     mol = dict(seqA=seqA[:150], seqB=seqB[:150], strA=strA[:150],
                strB=strB[:150])
     params = dict(
@@ -86,6 +94,56 @@ def _dnapol_prefix_case():
         max_shift=1,
     )
     return mol, params
+
+
+# SURVEY.md §8 anchors for the flagship README invocation
+# (/root/reference/README.md:159-162): md5 of each default-outmode
+# alignment string, name column excluded.
+FULL_MD5 = {
+    "A": "4f49c3ed126e81d65bc13e6b963384fd",
+    "B": "cf1a0953be5d5fffa9eb8a63e03aed51",
+    "A ss": "755f0f228092a86aaf2458b7962b6c7b",
+    "B ss": "89a56b820328ee1e1ed80c4f10370c49",
+    "A shifts": "d5c459dce9c5e48d2eca62e1851e053a",
+    "B shifts": "57bc03db8fe01bdfa4fdc169078679de",
+}
+
+
+def _run_dnapol_full(engine="pallas"):
+    """Full 928x933 fill + traceback + decode at HEAD, with per-row md5
+    anchors."""
+    import hashlib
+
+    from bialign_tpu import BiAligner
+
+    res = {"name": "dnapol_full_928x933", "engine": engine}
+    try:
+        seqA, strA, seqB, strB = _dnapol_mols()
+        t0 = time.perf_counter()
+        ba = BiAligner(
+            seqA, seqB, strA, strB, engine=engine, type="Protein",
+            shift_cost=-150, structure_weight=800, simmatrix="BLOSUM62",
+            gap_opening_cost=-150, gap_cost=-50, max_shift=1,
+        )
+        score = ba.optimize()
+        res["t_fill_cold_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        lines = list(ba.decode_trace())
+        res["t_traceback_decode_s"] = round(time.perf_counter() - t0, 2)
+        res["score"] = score
+        res["score_ok"] = score == 761500
+        md5s = {}
+        for line in lines:
+            name = line[:16].rstrip()
+            md5s[name] = hashlib.md5(line[16:].encode()).hexdigest()
+        res["md5_ok"] = md5s == FULL_MD5
+        if not res["md5_ok"]:
+            res["got_md5"] = md5s
+        res["ok"] = bool(res["score_ok"] and res["md5_ok"])
+    except Exception as e:  # noqa: BLE001 - smoke tier records any failure
+        res["ok"] = False
+        res["error"] = f"{type(e).__name__}: {e}"
+    return res
 
 
 def main():
@@ -132,6 +190,7 @@ def main():
     report["cases"].append(_run_case(
         "dnapol_prefix150_affine", mol, params, 117180, None, engine,
     ))
+    report["cases"].append(_run_dnapol_full(engine))
 
     report["ok"] = all(c["ok"] for c in report["cases"])
     report["t_total_s"] = round(time.perf_counter() - t_start, 1)
