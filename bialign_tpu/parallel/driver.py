@@ -19,10 +19,11 @@ Design:
   cross-host communication is needed beyond result collection by the
   caller — scores live in each host's spool shard).
 
-The driver scores; alignments-on-demand (traceback of selected pairs) run
-through :class:`bialign_tpu.BiAligner` on the winning pairs, which is the
-intended serving pattern: fill-only sweeps are ~free, tracebacks are
-pulled for the handful of pairs a user actually inspects.
+Two serving modes: score-only sweeps (default; alignments-on-demand for
+selected pairs via :class:`bialign_tpu.BiAligner`), and
+``alignments=True`` — every pair's traceback runs batched on device
+(:func:`bialign_tpu.parallel.batch.align_batch`) and the compact trace
+codes are spooled with the score (decode with :func:`trace_from_codes`).
 """
 
 from __future__ import annotations
@@ -90,11 +91,21 @@ class ResultSpool:
 
 
 class StreamingAligner:
-    """Scores a stream of pairs in device-efficient chunks."""
+    """Scores (optionally aligns) a stream of pairs in device-efficient
+    chunks.
+
+    ``alignments=True`` routes chunks through the fused batched
+    fill + vmapped device traceback (:func:`bialign_tpu.parallel.batch.
+    align_batch`): results then carry the forward trace (spooled as its
+    compact int-code list), and :meth:`run` yields
+    ``(id, score, trace)`` instead of ``(id, score)``.  Traces are
+    bit-exact vs the per-pair :class:`~bialign_tpu.BiAligner` walk.
+    """
 
     def __init__(self, params: dict, *, mesh=None, spool_path: str | None
                  = None, chunk_pairs: int = 256, bucket_quantum: int = 64,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 alignments: bool = False):
         from ..aligner import PARAM_DEFAULTS
 
         self.params = dict(PARAM_DEFAULTS)
@@ -105,6 +116,7 @@ class StreamingAligner:
         self.bucket_quantum = bucket_quantum
         self.process_index = process_index
         self.process_count = process_count
+        self.alignments = alignments
         self.stats = RunStats()
 
         self.max_shift = int(self.params["max_shift"])
@@ -140,19 +152,42 @@ class StreamingAligner:
 
     def _flush(self, chunk):
         tables = [self._tables(r) for r in chunk]
-        scores = pbatch.score_batch(
-            tables, self.max_shift, self.ptuple, affine=self.affine,
-            mesh=self.mesh, bucket_quantum=self.bucket_quantum,
-        )
+        if self.alignments:
+            scores, traces, complete = pbatch.align_batch(
+                tables, self.max_shift, self.ptuple, affine=self.affine,
+                mesh=self.mesh, bucket_quantum=self.bucket_quantum,
+            )
+        else:
+            scores = pbatch.score_batch(
+                tables, self.max_shift, self.ptuple, affine=self.affine,
+                mesh=self.mesh, bucket_quantum=self.bucket_quantum,
+            )
         cells = sum(
             band_cells(t[0].shape[0] - 1, t[0].shape[1] - 1, self.max_shift)
             for t in tables
         )
         self.stats.add_batch("chunk", len(chunk), cells)
-        for rec, score in zip(chunk, scores):
-            if self.spool is not None:
-                self.spool.write(rec.id, int(score))
-            yield rec.id, int(score)
+        for pos, (rec, score) in enumerate(zip(chunk, scores)):
+            if self.alignments:
+                trace = traces[pos]
+                if self.spool is not None:
+                    codes = [c0 * 8 + c1 * 4 + c2 * 2 + c3
+                             for (c0, c1, c2, c3) in trace]
+                    self.spool.write(rec.id, int(score),
+                                     {"trace": codes,
+                                      "complete": bool(complete[pos])})
+                yield rec.id, int(score), trace
+            else:
+                if self.spool is not None:
+                    self.spool.write(rec.id, int(score))
+                yield rec.id, int(score)
+
+
+def trace_from_codes(codes) -> list:
+    """Spooled int trace codes -> forward trace list of (a, b, c, d),
+    the format :meth:`bialign_tpu.BiAligner.traceback` returns."""
+    return [((c >> 3) & 1, (c >> 2) & 1, (c >> 1) & 1, c & 1)
+            for c in codes]
 
 
 def merge_spools(paths) -> dict:

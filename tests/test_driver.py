@@ -134,3 +134,38 @@ def test_merge_spools_midfile_corruption_raises(tmp_path):
     # silently discard record "b" (ADVICE r3)
     with pytest.raises(ValueError, match="mid-file"):
         merge_spools([str(shard)])
+
+
+def test_streaming_aligner_alignments_mode(tmp_path):
+    """alignments=True yields (id, score, trace) with spooled trace
+    codes that decode back to the per-pair BiAligner trace."""
+    from bialign_tpu import BiAligner
+    from bialign_tpu.parallel.driver import (
+        PairRecord, StreamingAligner, trace_from_codes,
+    )
+
+    params = dict(type="Protein", structure_weight=800,
+                  simmatrix="BLOSUM62", gap_opening_cost=-150,
+                  gap_cost=-50, shift_cost=-150, max_shift=1)
+    seqA = "RAKLPLKEKKLTATANYHPGIRYIMTGYSAKYIYSSTYARFR"
+    seqB = "KAKLPLKEKKLTRTANYHPGIRYIMTGYSAKRIYSSTYAYFR"
+    strA = "CHHHHHHHHHHHHHCCCCTCEEEEEEECCTCEEEEEEEECCC"
+    strB = "HHHHHHHHHHHHCCCCCCTCEEEEEEECCCCCEEEEEEEECC"
+    recs = [PairRecord(id=f"p{i}", seqA=seqA, seqB=seqB, strA=strA,
+                       strB=strB) for i in range(3)]
+    spool = tmp_path / "aln.jsonl"
+    sa = StreamingAligner(params, spool_path=str(spool), alignments=True)
+    results = list(sa.run(recs))
+    assert len(results) == 3
+    ba = BiAligner(seqA, seqB, strA, strB, engine="xla", **params)
+    assert ba.optimize() == 48500
+    want_trace = [tuple(c) for c in ba.traceback()]
+    for pid, score, trace in results:
+        assert score == 48500
+        assert [tuple(c) for c in trace] == want_trace
+    # spooled codes decode to the same trace
+    recs_spooled = [json.loads(ln) for ln in
+                    spool.read_text().splitlines()]
+    assert all(r["complete"] for r in recs_spooled)
+    assert ([tuple(c) for c in trace_from_codes(recs_spooled[0]["trace"])]
+            == want_trace)
