@@ -280,19 +280,26 @@ def _batched_alignments_fn(on_tpu, B=64):
     return measure
 
 
-def _e2e_fn(raw, on_tpu):
-    """Closure measuring the full user path: fill + traceback + decode."""
+def _e2e_fn(raw, on_tpu, *, lowmem=False, engine=None):
+    """Closure measuring the full user path: fill + traceback + decode.
+
+    ``lowmem=True`` runs the checkpointed O(sqrt(D))-band mode — with
+    engine='pallas' the checkpoint-emitting Pallas fill + on-kernel
+    block rematerialization, with engine='xla' the checkpointed XLA
+    scan (the round-3 fallback this replaces).
+    """
     from bialign_tpu import BiAligner
 
     seqA, strA, seqB, strB = raw
-    engine = "pallas" if on_tpu else "xla"
+    if engine is None:
+        engine = "pallas" if on_tpu else "xla"
 
     def measure():
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             ba = BiAligner(seqA, seqB, strA, strB, engine=engine,
-                           max_shift=1, **PARAMS)
+                           max_shift=1, lowmem=lowmem, **PARAMS)
             score = ba.optimize()
             lines = list(ba.decode_trace())
             best = min(best, time.perf_counter() - t0)
@@ -385,6 +392,21 @@ def main():
     add("dnapol1_affine_ms1_e2e_s", v5, "s", 626.7 / v5,
         {"min": round(min(v5s), 2), "median": round(v5, 2),
          "max": round(max(v5s), 2), "runs": RUNS})
+
+    # 5b. lowmem (checkpointed band) e2e, Pallas fill vs the XLA-scan
+    # fallback it replaces (VERDICT r3 item 5: the Pallas path must win)
+    if on_tpu:
+        v5p = [_e2e_fn(raw, on_tpu, lowmem=True, engine="pallas")()
+               for _ in range(RUNS)]
+        v5x = [_e2e_fn(raw, on_tpu, lowmem=True, engine="xla")()
+               for _ in range(RUNS)]
+        vp = statistics.median(v5p)
+        vx = statistics.median(v5x)
+        add("dnapol1_lowmem_pallas_e2e_s", vp, "s", 626.7 / vp,
+            {"min": round(min(v5p), 2), "median": round(vp, 2),
+             "max": round(max(v5p), 2), "runs": RUNS},
+            xla_lowmem_e2e_s=round(vx, 2),
+            speedup_vs_xla_lowmem=round(vx / vp, 2))
 
     # 6. speed-of-light: measured rate x traced-kernel op count / modeled
     # VPU peak (utils/opcount.py; no hand-counted constants)
