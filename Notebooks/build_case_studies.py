@@ -79,13 +79,18 @@ md("""## Linear-memory (checkpointed) band mode
 
 `lowmem=True` stores only O(sqrt(D)) scan checkpoints and rematerializes
 band blocks during traceback — bit-identical output, ~14x less device
-memory on the full pair.""")
+memory on the full pair.  With `engine="pallas"` the checkpoint-emitting
+Pallas kernel fills AND rematerializes (the fast kernel serves the
+long-pair regime it exists for); `engine="xla"` uses the checkpointed
+XLA scan.""")
 
 code("""ba_ref = BiAligner(pa, pb, sa, sb, engine="xla", **params)
 ba_low = BiAligner(pa, pb, sa, sb, engine="xla", lowmem=True, **params)
-print("scores:", ba_ref.optimize(), ba_low.optimize())
+ba_lowp = BiAligner(pa, pb, sa, sb, engine="pallas", lowmem=True, **params)
+print("scores:", ba_ref.optimize(), ba_low.optimize(), ba_lowp.optimize())
 assert list(ba_ref.decode_trace()) == list(ba_low.decode_trace())
-print("decoded alignments identical")""")
+assert list(ba_ref.decode_trace()) == list(ba_lowp.decode_trace())
+print("decoded alignments identical (xla + pallas checkpoint fills)")""")
 
 md("""## DSSP / STRIDE input
 
@@ -139,6 +144,46 @@ scores = score_batch(tables, params["max_shift"],
 dt = time.perf_counter() - t0
 print(f"32 pairs in {dt:.2f} s ({32/dt:.0f} pairs/s on this backend)")
 print("scores identical:", len(set(scores.tolist())) == 1)""")
+
+md("""## Batched ALIGNMENTS (not just scores)
+
+`parallel.batch.align_batch` runs the fill **and** the traceback batched
+on device (one fused dispatch per bucket chunk: band-emitting batched
+kernel + vmapped traceback walk), returning per-pair traces bit-exact
+with `BiAligner.traceback()` — ~740 full alignments/s on one v5e for
+this toy (BENCH_r04).  `StreamingAligner(..., alignments=True)` spools
+the compact trace codes alongside each score.""")
+
+code("""from bialign_tpu.parallel.batch import align_batch
+
+scores, traces, complete = align_batch(
+    tables, params["max_shift"],
+    (params["gap_opening_cost"], params["gap_cost"],
+     params["shift_cost"]), affine=True)
+ba_one = BiAligner(pa[:60], pb[:60], sa[:60], sb[:60], **params)
+ba_one.optimize()
+print("scores match:", int(scores[0]) == ba_one.optimize())
+print("trace bit-exact vs BiAligner:",
+      [tuple(c) for c in traces[0]] == [tuple(c) for c in ba_one.traceback()],
+      " all complete:", all(complete))""")
+
+md("""## Steady-state serving: cached device buckets
+
+`PreparedBatch` packs and transfers a corpus once; `scores()` then runs
+only the kernels — ~14,000 pairs/s at B=512 on one v5e vs ~2,800/s when
+rebuilding buckets per call (BENCH_r04).""")
+
+code("""from bialign_tpu.parallel.batch import PreparedBatch
+
+prep = PreparedBatch(tables, params["max_shift"],
+                     (params["gap_opening_cost"], params["gap_cost"],
+                      params["shift_cost"]), affine=True)
+t0 = time.perf_counter()
+s2 = prep.scores()
+dt = time.perf_counter() - t0
+print(f"cached scoring: {len(tables)} pairs in {dt*1e3:.1f} ms "
+      f"({len(tables)/dt:.0f} pairs/s on this backend)")
+print("matches one-shot path:", (s2 == scores).all())""")
 
 md("""## Serving: persistent compile cache + bucket prewarm
 

@@ -87,14 +87,16 @@ def make_buckets(tables, max_shift: int, bucket_quantum: int = 64):
 
 
 def make_buckets_dense(tables, bucket_quantum: int = 64):
-    """Group pairs into buckets of DENSE zero-padded tables for the
-    Pallas batched path (diagonal tables are built on device, so the
-    host only pads — no O(D*W^2*P) per-pair numpy work).
+    """Group pairs into buckets of DENSE raw tables for the Pallas
+    batched path (diagonal tables are built on device, so the host only
+    pads — no O(D*W^2*P) per-pair numpy work).
 
-    Tables are padded to the bucket-exact [N+1, M+1] only; the kernel
-    wrapper lane-pads the row axis ON DEVICE, so the host->device
-    transfer carries no lane padding (4x smaller for toy-sized pairs
-    through a constrained link).
+    Tables are kept raw here; :func:`stack_padded` pads each bucket's
+    stack to the bucket-exact [B, N+1, M+1] in one vectorized write
+    (the all-same-shape serving case skips per-pair padding entirely).
+    The kernel wrapper lane-pads the row axis ON DEVICE, so the
+    host->device transfer carries no lane padding (4x smaller for
+    toy-sized pairs through a constrained link).
     """
     buckets: dict = {}
     for idx, (mu1, mu2) in enumerate(tables):
@@ -103,12 +105,32 @@ def make_buckets_dense(tables, bucket_quantum: int = 64):
         N = quantize(n, bucket_quantum)
         M = quantize(m, bucket_quantum)
         b = buckets.setdefault((N, M), Bucket(N, M))
-        b.mu1d.append(pad_table(np.asarray(mu1), N, M))
-        b.mu2d.append(pad_table(np.asarray(mu2), N, M))
+        b.mu1d.append(np.asarray(mu1))
+        b.mu2d.append(np.asarray(mu2))
         b.indices.append(idx)
         b.n.append(n)
         b.m.append(m)
     return buckets
+
+
+def stack_padded(raws, N: int, M: int, pad_count: int = 0) -> np.ndarray:
+    """Stack raw (n+1, m+1) tables into one [B, N+1, M+1] int32 array
+    (+ ``pad_count`` repeats of the last table for batch-axis padding).
+
+    Single-shape fast path: one stack + one block write — the
+    steady-state serving case where every pair in a bucket has the same
+    length pays no per-pair padding loop.
+    """
+    raws = list(raws) + [raws[-1]] * pad_count
+    shapes = {a.shape for a in raws}
+    out = np.zeros((len(raws), N + 1, M + 1), dtype=np.int32)
+    if len(shapes) == 1:
+        (n1, m1), = shapes
+        out[:, :n1, :m1] = np.stack(raws)
+        return out
+    for i, a in enumerate(raws):
+        out[i, : a.shape[0], : a.shape[1]] = a
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
@@ -219,12 +241,10 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
             # narrow the STACKED arrays (not per table) so a bucket always
             # ships one dtype — per-table narrowing made the jit compile
             # key data-dependent (one outlier pair doubled compiles)
-            mu1p = pallas_dp._narrow_if_fits(
-                np.stack(b.mu1d + [b.mu1d[-1]] * pad)
-            )
-            mu2p = pallas_dp._narrow_if_fits(
-                np.stack(b.mu2d + [b.mu2d[-1]] * pad)
-            )
+            mu1p = pallas_dp._narrow_if_fits(stack_padded(b.mu1d, N, M,
+                                                          pad))
+            mu2p = pallas_dp._narrow_if_fits(stack_padded(b.mu2d, N, M,
+                                                          pad))
             ns = np.asarray(b.n + [b.n[-1]] * pad, dtype=np.int32)
             ms = np.asarray(b.m + [b.m[-1]] * pad, dtype=np.int32)
             if mesh is not None:
@@ -385,10 +405,8 @@ def align_batch(tables, max_shift: int, params, *, affine: bool,
                 Bp = ((B + ds - 1) // ds) * ds
             pad = Bp - B
             sl = slice(lo, lo + chunk)
-            mu1p = _narrow_if_fits(
-                np.stack(b.mu1d[sl] + [b.mu1d[sl][-1]] * pad))
-            mu2p = _narrow_if_fits(
-                np.stack(b.mu2d[sl] + [b.mu2d[sl][-1]] * pad))
+            mu1p = _narrow_if_fits(stack_padded(b.mu1d[sl], N, M, pad))
+            mu2p = _narrow_if_fits(stack_padded(b.mu2d[sl], N, M, pad))
             ns = np.asarray(b.n[sl] + [b.n[sl][-1]] * pad,
                             dtype=np.int32)
             ms = np.asarray(b.m[sl] + [b.m[sl][-1]] * pad,
@@ -455,8 +473,8 @@ class PreparedBatch:
                 ds = mesh.shape["data"]
                 Bp = ((B + ds - 1) // ds) * ds
             pad = Bp - B
-            mu1p = _narrow_if_fits(np.stack(b.mu1d + [b.mu1d[-1]] * pad))
-            mu2p = _narrow_if_fits(np.stack(b.mu2d + [b.mu2d[-1]] * pad))
+            mu1p = _narrow_if_fits(stack_padded(b.mu1d, N, M, pad))
+            mu2p = _narrow_if_fits(stack_padded(b.mu2d, N, M, pad))
             ns = np.asarray(b.n + [b.n[-1]] * pad, dtype=np.int32)
             ms = np.asarray(b.m + [b.m[-1]] * pad, dtype=np.int32)
             dev = [
