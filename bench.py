@@ -416,11 +416,13 @@ def main():
         v1, 1,
         (PARAMS["gap_opening_cost"], PARAMS["gap_cost"],
          PARAMS["shift_cost"]),
-        n=928,
+        n=928, m=933,
     )
+    from bialign_tpu.utils.opcount import VPU_PEAK_OPS
+
     add("vpu_peak_fraction_ms1", pf["genuine_fraction"], "fraction",
         pf["genuine_fraction"] / (12.46e3 * pf["ops_per_cell"]
-                                  / 3.85e12),
+                                  / VPU_PEAK_OPS),
         {"runs": RUNS},
         ops_per_cell=pf["ops_per_cell"],
         executed_fraction=round(pf["executed_fraction"], 4))

@@ -15,15 +15,20 @@ Counting model (documented so the peak fraction is interpretable):
   and the lane/sublane rolls (data movement through the VPU crossbar);
 * NOT counted: broadcasts/reshapes/iota/constants (layout, usually
   folded), and the boolean-conversion glue XLA folds into the select.
-* cells per diagonal: the slab covers W*W*Ppad lattice points per
-  diagonal; genuine 4D cells per diagonal are W*W*(n+1) on average over
-  the fill (row padding to the lane quantum is idle work the kernel
-  still executes — using SLAB cells here would overstate MFU, so
-  ops/cell is reported against the slab and the peak fraction against
-  genuine cells, making the figure an honest end-to-end utilization).
+* the kernel executes the FULL [W, W, Ppad] slab on every one of the D
+  diagonals; genuine 4D cells total (n+1)(m+1)W^2.  The executed-op
+  rate therefore exceeds the genuine-cell rate by Ppad*D/((n+1)(m+1))
+  (~2.2x for the square DNA-Pol pair: inactive lattice rows at the
+  band's triangular ends are computed and discarded — the cost of
+  static shapes).  Both fractions are reported.
 
-Peak model: 8 sublanes x 128 lanes x 4 ALU slots x 0.94 GHz ~ 3.85e12
-int32 ops/s (v5e-class public figures; one op per element per slot).
+Peak model: 8 sublanes x 128 lanes x 8 ALU slots x 0.94 GHz ~ 7.7e12
+int32 ops/s.  The slot count is inferred, not quoted: under a 4-slot
+model the measured executed-op rate (cells/s x ops/cell x padding
+ratio) exceeds "peak" by ~1.8x, which is physically impossible, so the
+VPU must retire ~8 of these ALU ops per lane-cycle (consistent with
+fused multi-op issue on v5e-class cores).  Treat the absolute fraction
+as model-dependent; the trend across rounds is the signal.
 """
 
 from __future__ import annotations
@@ -125,21 +130,22 @@ def ops_per_cell(S: int, params, SUB: int = 8, affine: bool = True) -> float:
     return c["alu_ops"] / c["slab_cells"]
 
 
-VPU_PEAK_OPS = 8 * 128 * 4 * 0.94e9  # v5e-class modeled int32 peak
+VPU_PEAK_OPS = 8 * 128 * 8 * 0.94e9  # v5e-class modeled peak (see module doc)
 
 
-def peak_fraction(cells_per_s: float, S: int, params, *, n: int,
+def peak_fraction(cells_per_s: float, S: int, params, *, n: int, m: int,
                   Ppad: int = 1024, affine: bool = True) -> dict:
     """End-to-end VPU utilization of a measured fill rate.
 
-    ``cells_per_s`` counts GENUINE 4D cells (the bench's metric);
-    the kernel also executes the row padding (Ppad vs n+1), so the
-    executed-op rate is scaled by Ppad/(n+1) — both the genuine-cell
-    utilization and the executed-op utilization are returned.
+    ``cells_per_s`` counts GENUINE 4D cells (the bench's metric); the
+    kernel executes the full Ppad-row slab on all D = n+m+1 diagonals,
+    so the executed-op rate is the genuine rate scaled by
+    Ppad*D/((n+1)(m+1)) (module doc).  Returns both fractions.
     """
     opc = ops_per_cell(S, params, affine=affine)
     genuine = cells_per_s * opc / VPU_PEAK_OPS
-    executed = genuine * (Ppad / (n + 1))
+    D = n + m + 1
+    executed = genuine * (Ppad * D) / ((n + 1) * (m + 1))
     return {
         "ops_per_cell": round(opc, 1),
         "genuine_fraction": genuine,
