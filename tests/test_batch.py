@@ -257,3 +257,29 @@ def test_align_batch_sharded_bit_exact(pairs):
     assert comps == want_comps
     for got, want in zip(traces, want_traces):
         assert got == want
+
+
+@pytest.mark.parametrize("S", [0, 3])
+def test_align_batch_shift_extremes(S):
+    """align_batch parity at max_shift 0 (degenerate band) and 3 (wide
+    band) — the walk and band layouts must agree across W."""
+    rng = np.random.default_rng(5 + S)
+    pairs = [_rand_pair(rng, 5 + i, 6 + (i % 3)) for i in range(6)]
+    beta, gamma, delta = -150, -50, -150
+    want_scores = _oracle_scores(pairs, S, beta, gamma, delta, True)
+    want_traces, want_comps = _oracle_traces(pairs, S, beta, gamma,
+                                             delta, True)
+    scores, traces, comps = pbatch.align_batch(
+        pairs, S, (beta, gamma, delta), affine=True, bucket_quantum=8
+    )
+    assert (scores == want_scores).all()
+    assert comps == want_comps
+    for got, want in zip(traces, want_traces):
+        assert got == want
+
+
+def test_align_batch_empty():
+    scores, traces, comps = pbatch.align_batch(
+        [], 1, (-150, -50, -150), affine=True
+    )
+    assert len(scores) == 0 and traces == [] and comps == []
