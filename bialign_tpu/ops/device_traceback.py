@@ -49,6 +49,10 @@ _KEY_SCALE = 256  # > any |net B shift| during a walk (bounded by S+1)
 
 N_AFFINE_CASES = 15
 
+# Lane width of the folded batched-band layout (pallas_dp.LANES; kept a
+# local constant so this module stays importable without Pallas).
+_LANES = 128
+
 
 @functools.lru_cache(maxsize=None)
 def _affine_static_tables():
@@ -93,6 +97,7 @@ def _affine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n, m):
     2 = stuck (the reference's incomplete-traceback warning case).
     """
     S = max_shift
+    W = 2 * S + 1
     Lmax = 2 * (mu1.shape[0] - 1 + mu1.shape[1] - 1) + 1
 
     src_t, col_t, mults_t = _affine_static_tables()
@@ -108,7 +113,17 @@ def _affine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n, m):
     )
     CODES = jnp.asarray(_encode_col(col_t))      # [9,15]
 
+    # p_last == "folded": the batched band's HBM-friendly layout
+    # ys[d, ((q*W + sk)*W + sl)*SUB + i//LANES, i%LANES] (see
+    # pallas_dp._affine_batched_kernel)
+    folded = p_last == "folded"
+    SUBw = ys.shape[1] // (N_STATES * W * W) if folded else 0
+
     def cell(q, i, j, k, l):
+        if folded:
+            f = ((q * W + (k - i + S)) * W + (l - j + S)) * SUBw \
+                + i // _LANES
+            return ys[i + j, f, i % _LANES]
         if p_last:
             return ys[i + j, q, k - i + S, l - j + S, i]
         return ys[i + j, q, i, k - i + S, l - j + S]
@@ -139,10 +154,14 @@ def _affine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n, m):
         cd_ = jnp.clip(pi + pj, 0, n + m)
         csk = jnp.clip(pk - pi + S, 0, 2 * S)
         csl = jnp.clip(pl - pj + S, 0, 2 * S)
-        pred_cells = (
-            ys[cd_, SRC[q], csk, csl, ci_] if p_last
-            else ys[cd_, SRC[q], ci_, csk, csl]
-        )
+        if folded:
+            f = ((SRC[q] * W + csk) * W + csl) * SUBw + ci_ // _LANES
+            pred_cells = ys[cd_, f, ci_ % _LANES]
+        else:
+            pred_cells = (
+                ys[cd_, SRC[q], csk, csl, ci_] if p_last
+                else ys[cd_, SRC[q], ci_, csk, csl]
+            )
         vals = (
             pred_cells
             + case_const[q]
@@ -179,7 +198,12 @@ def _affine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n, m):
         }
 
     # start-state selection (pyx:573-582), on device
-    final = ys[n + m, :, S, S, n] if p_last else ys[n + m, :, n, S, S]
+    if folded:
+        qv = jnp.arange(N_STATES)
+        fq = ((qv * W + S) * W + S) * SUBw + n // _LANES
+        final = ys[n + m, fq, n % _LANES]
+    else:
+        final = ys[n + m, :, S, S, n] if p_last else ys[n + m, :, n, S, S]
     score = jnp.max(final)
     intrinsic = jnp.asarray(
         [abs(s[0] - s[2]) + abs(s[1] - s[3]) for s in STATES],
@@ -275,6 +299,7 @@ def _nonaffine_walk_batch(ys, mu1, mu2, case_const, max_shift, p_last,
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def _nonaffine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n, m):
     S = max_shift
+    W = 2 * S + 1
     # n/m are runtime scalars; trace capacity from the padded mu shapes
     Lmax = 2 * (mu1.shape[0] - 1 + mu1.shape[1] - 1) + 1
 
@@ -284,10 +309,16 @@ def _nonaffine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n, m):
     MU2C = jnp.asarray(tabs.mu2_coef)
     CODES = jnp.asarray(_encode_col(np.asarray(NONAFFINE_COLS)))
 
+    folded = p_last == "folded"
+    SUBw = ys.shape[1] // (W * W) if folded else 0
+
     def cond(st):
         return (st["done"] == 0) & (st["step"] < Lmax)
 
     def cell(i_, j_, sk_, sl_):
+        if folded:
+            f = (sk_ * W + sl_) * SUBw + i_ // _LANES
+            return ys[i_ + j_, f, i_ % _LANES]
         if p_last:
             return ys[i_ + j_, sk_, sl_, i_]
         return ys[i_ + j_, i_, sk_, sl_]

@@ -986,6 +986,14 @@ def _affine_batched_kernel(G: int, S: int, params, SUB: int,
     ``score_only``: capture the score on the fly when the pair's final
     diagonal d == n + m passes; otherwise emit the full band (the
     batched-alignments path walks it with the vmapped device traceback).
+
+    FOLDED I/O layout: the HBM-side mu2 blocks are [G, W*W*SUB, LANES]
+    and the band output [G, Q*W*W*SUB, LANES] — XLA tiles arrays T(8,
+    128) on the last two dims, so a second-minor dim of 1 (SUB == 1,
+    the common small-bucket case) would be padded 8x in HBM (measured:
+    a 64-pair toy band ballooned to 5.4 GB); folding keeps the
+    second-minor dim large (81 -> ~9% padding).  In-kernel reshapes are
+    pure leading-dim splits/merges (minor dim untouched — free).
     """
     W = 2 * S + 1
     Q = N_STATES
@@ -1009,8 +1017,8 @@ def _affine_batched_kernel(G: int, S: int, params, SUB: int,
         def body(u, carry):
             v1, v2 = carry
             d = g * G + u
-            val = update(d, mu1_ref[pl.ds(u, 1)][0],
-                         mu2_ref[pl.ds(u, 1)][0], v1, v2)
+            mu2_blk = mu2_ref[pl.ds(u, 1)][0].reshape(W, W, SUB, LANES)
+            val = update(d, mu1_ref[pl.ds(u, 1)][0], mu2_blk, v1, v2)
             if score_only:
                 @pl.when(d == n + m)
                 def _():
@@ -1023,7 +1031,8 @@ def _affine_batched_kernel(G: int, S: int, params, SUB: int,
                         jnp.where(hit[None], val[:, S, S], INVALID))
                     out_ref[0] = jnp.full((8, LANES), score, jnp.int32)
             else:
-                out_ref[pl.ds(u, 1)] = val[None]
+                out_ref[pl.ds(u, 1)] = val.reshape(
+                    1, Q * W * W * SUB, LANES)
             return val, v1
 
         v1, v2 = jax.lax.fori_loop(0, G, body, (vm1_ref[:], vm2_ref[:]))
@@ -1231,9 +1240,10 @@ def _affine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params,
     while D % G:
         G //= 2
     Dg = D // G
-    # fold (B, D) so per-step blocks have the single-pair shapes
+    # fold (B, D) so per-step blocks have the single-pair shapes; fold
+    # (W, W, SUB) so the HBM second-minor dim is large (see kernel doc)
     mu1f = mu1d.reshape(B * D, SUB, LANES)
-    mu2f = mu2d.reshape(B * D, W, W, SUB, LANES)
+    mu2f = mu2d.reshape(B * D, W * W * SUB, LANES)
 
     kernel = _affine_batched_kernel(G, S, params, SUB, score_only)
     if score_only:
@@ -1243,10 +1253,10 @@ def _affine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params,
         out_shape = jax.ShapeDtypeStruct((B, 8, LANES), jnp.int32)
     else:
         out_specs = pl.BlockSpec(
-            (G, Q, W, W, SUB, LANES),
-            lambda b, g, ns, ms: (b * Dg + g, 0, 0, 0, 0, 0),
+            (G, Q * W * W * SUB, LANES),
+            lambda b, g, ns, ms: (b * Dg + g, 0, 0),
             memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((B * D, Q, W, W, SUB, LANES),
+        out_shape = jax.ShapeDtypeStruct((B * D, Q * W * W * SUB, LANES),
                                          jnp.int32)
     slab = pltpu.VMEM((Q, W, W, SUB, LANES), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1256,8 +1266,8 @@ def _affine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params,
             pl.BlockSpec((G, SUB, LANES),
                          lambda b, g, ns, ms: (b * Dg + g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, W, W, SUB, LANES),
-                         lambda b, g, ns, ms: (b * Dg + g, 0, 0, 0, 0),
+            pl.BlockSpec((G, W * W * SUB, LANES),
+                         lambda b, g, ns, ms: (b * Dg + g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -1274,14 +1284,18 @@ def _affine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params,
     )(ns, ms, mu1f, mu2f)
     if score_only:
         return out[:, 0, 0]
-    return out.reshape(B, D, Q, W, W, SUB * LANES)
+    # folded band [B, D, Q*W*W*SUB, LANES]; the batched walk reads this
+    # layout directly (p_last="folded") — unfolding here would force an
+    # 8x-padded relayout copy
+    return out.reshape(B, D, Q * W * W * SUB, LANES)
 
 
 def _nonaffine_batched_kernel(G: int, S: int, params, SUB: int,
                               score_only: bool):
     """Batched non-affine kernel: grid (B, Dg), G diagonals per step,
     per-pair true lengths in SMEM via scalar prefetch (same pattern as
-    the affine batched kernel; slabs carry no state axis)."""
+    the affine batched kernel, incl. the folded HBM I/O layout; slabs
+    carry no state axis)."""
     W = 2 * S + 1
     update = _make_nonaffine_update(S, params, SUB)
 
@@ -1303,8 +1317,8 @@ def _nonaffine_batched_kernel(G: int, S: int, params, SUB: int,
         def body(u, carry):
             v1, v2 = carry
             d = g * G + u
-            val = update(d, mu1_ref[pl.ds(u, 1)][0],
-                         mu2_ref[pl.ds(u, 1)][0], v1, v2)
+            mu2_blk = mu2_ref[pl.ds(u, 1)][0].reshape(W, W, SUB, LANES)
+            val = update(d, mu1_ref[pl.ds(u, 1)][0], mu2_blk, v1, v2)
             if score_only:
                 @pl.when(d == n + m)
                 def _():
@@ -1316,7 +1330,8 @@ def _nonaffine_batched_kernel(G: int, S: int, params, SUB: int,
                     score = jnp.max(jnp.where(hit, val[S, S], INVALID))
                     out_ref[0] = jnp.full((8, LANES), score, jnp.int32)
             else:
-                out_ref[pl.ds(u, 1)] = val[None]
+                out_ref[pl.ds(u, 1)] = val.reshape(
+                    1, W * W * SUB, LANES)
             return val, v1
 
         v1, v2 = jax.lax.fori_loop(0, G, body, (vm1_ref[:], vm2_ref[:]))
@@ -1358,7 +1373,7 @@ def _nonaffine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params,
         G //= 2
     Dg = D // G
     mu1f = mu1d.reshape(B * D, SUB, LANES)
-    mu2f = mu2d.reshape(B * D, W, W, SUB, LANES)
+    mu2f = mu2d.reshape(B * D, W * W * SUB, LANES)
 
     kernel = _nonaffine_batched_kernel(G, S, params, SUB, score_only)
     if score_only:
@@ -1368,10 +1383,10 @@ def _nonaffine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params,
         out_shape = jax.ShapeDtypeStruct((B, 8, LANES), jnp.int32)
     else:
         out_specs = pl.BlockSpec(
-            (G, W, W, SUB, LANES),
-            lambda b, g, ns, ms: (b * Dg + g, 0, 0, 0, 0),
+            (G, W * W * SUB, LANES),
+            lambda b, g, ns, ms: (b * Dg + g, 0, 0),
             memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((B * D, W, W, SUB, LANES),
+        out_shape = jax.ShapeDtypeStruct((B * D, W * W * SUB, LANES),
                                          jnp.int32)
     slab = pltpu.VMEM((W, W, SUB, LANES), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1381,8 +1396,8 @@ def _nonaffine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params,
             pl.BlockSpec((G, SUB, LANES),
                          lambda b, g, ns, ms: (b * Dg + g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, W, W, SUB, LANES),
-                         lambda b, g, ns, ms: (b * Dg + g, 0, 0, 0, 0),
+            pl.BlockSpec((G, W * W * SUB, LANES),
+                         lambda b, g, ns, ms: (b * Dg + g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -1399,7 +1414,8 @@ def _nonaffine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params,
     )(ns, ms, mu1f, mu2f)
     if score_only:
         return out[:, 0, 0]
-    return out.reshape(B, D, W, W, SUB * LANES)
+    # folded band [B, D, W*W*SUB, LANES] (walked via p_last="folded")
+    return out.reshape(B, D, W * W * SUB, LANES)
 
 
 def _on_tpu() -> bool:

@@ -313,7 +313,8 @@ def _fill_walk_affine(mu1p, mu2p, ns, ms, D, max_shift, params, _shape):
     const = jnp.asarray(dtb._affine_const(beta, gamma, delta))
     m1 = mu1p.astype(jnp.int32)
     m2 = mu2p.astype(jnp.int32)
-    return dtb._affine_walk_batch(ys, m1, m2, const, max_shift, True,
+    # the batched band arrives in the folded HBM layout
+    return dtb._affine_walk_batch(ys, m1, m2, const, max_shift, "folded",
                                   ns, ms)
 
 
@@ -332,11 +333,16 @@ def _fill_walk_nonaffine(mu1p, mu2p, ns, ms, D, max_shift, params, _shape):
     m1 = mu1p.astype(jnp.int32)
     m2 = mu2p.astype(jnp.int32)
     codes, steps = dtb._nonaffine_walk_batch(ysb, m1, m2, const,
-                                             max_shift, True, ns, ms)
-    # non-affine score: final-diagonal center cell (d = n+m, i = n)
+                                             max_shift, "folded", ns, ms)
+    # non-affine score: final-diagonal center cell (d = n+m, i = n),
+    # read through the folded layout [B, D, W*W*SUB, LANES]
     B = mu1p.shape[0]
     S = max_shift
-    scores = ysb[jnp.arange(B), ns + ms, S, S, ns]
+    W = 2 * S + 1
+    SUBw = ysb.shape[2] // (W * W)
+    L = dtb._LANES
+    f = (S * W + S) * SUBw + ns // L
+    scores = ysb[jnp.arange(B), ns + ms, f, ns % L]
     return codes, steps, scores
 
 
