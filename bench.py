@@ -242,7 +242,7 @@ def _batched_pairs_fn(on_tpu, B=64, cached=False):
     return measure
 
 
-def _batched_alignments_fn(on_tpu, B=64):
+def _batched_alignments_fn(on_tpu, B=64, chunk=64):
     """Closure measuring full ALIGNMENTS/s on B distinct toy pairs:
     fused batched fill + vmapped device traceback + host decode."""
     from bialign_tpu.parallel import batch as pbatch
@@ -254,7 +254,7 @@ def _batched_alignments_fn(on_tpu, B=64):
 
     def run_once():
         scores, traces, complete = pbatch.align_batch(
-            tables, 1, ptuple, affine=True
+            tables, 1, ptuple, affine=True, chunk=chunk
         )
         lines = []
         for (molA, molB), tr in zip(mols, traces):
@@ -384,6 +384,15 @@ def main():
     v4d, sp4d = _spread(_batched_alignments_fn(on_tpu))
     add("toy_protein_batched_alignments_per_s", v4d, "alignments/s",
         v4d / ref_pair_rate, sp4d)
+
+    # 4e. same at B=512 in one fused dispatch (folded band layout keeps
+    # the chunk's HBM footprint ~3 GB) — amortizes the dispatch round
+    # trips the 64-pair batch exposes
+    if on_tpu:
+        v4e, sp4e = _spread(_batched_alignments_fn(on_tpu, B=512,
+                                                   chunk=512))
+        add("toy_protein_batched_alignments_per_s_b512", v4e,
+            "alignments/s", v4e / ref_pair_rate, sp4e)
 
     # 5. end-to-end fill + traceback + decode (reference: 626.7 s fill
     # alone; its traceback/decode add seconds at most)

@@ -156,6 +156,35 @@ def _device_put_sharded(arr, mesh):
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
+def _require_int32_safe(amax: int, N: int, M: int, params, affine: bool):
+    """Bucket-level int32-overflow guard for the batched engines.
+
+    The batched kernels compute in int32 with a -2^30 sentinel;
+    :class:`bialign_tpu.BiAligner` certifies this per pair
+    (ops/cases.check_int32_safe) and falls back to an int64 XLA scan,
+    but the batch paths have no int64 twin — so an unsafe bucket must
+    fail loudly, not silently wrap.  Conservative bucket-level form of
+    ops/cases.int32_value_bound (bucket N+M and the stacked tables' max
+    magnitude bound every pair in the bucket).
+    """
+    if affine:
+        beta, gamma, delta = params
+    else:
+        beta = 0
+        gamma, delta = params
+    per_col = (2 * abs(int(gamma)) + 2 * abs(int(beta))
+               + 2 * abs(int(delta)) + 2 * int(amax))
+    bound = 2 * (N + M + 2) * per_col
+    if not ((-(1 << 30)) - bound > np.iinfo(np.int32).min + (1 << 20)):
+        raise ValueError(
+            "scoring parameters/tables exceed the certified int32 range "
+            f"for bucket ({N}, {M}) (value drift bound {bound}); the "
+            "batched engines have no int64 path — score these pairs "
+            "individually via BiAligner (engine='xla'), which falls back "
+            "to the overflow-safe int64 scan"
+        )
+
+
 def _on_tpu() -> bool:
     """engine="auto" policy: the Pallas batched path runs on a TPU
     (single-device or mesh), the vmapped XLA scan elsewhere."""
@@ -245,6 +274,11 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
                                                           pad))
             mu2p = pallas_dp._narrow_if_fits(stack_padded(b.mu2d, N, M,
                                                           pad))
+            _require_int32_safe(
+                max(int(np.abs(mu1p).max(initial=0)),
+                    int(np.abs(mu2p).max(initial=0))),
+                N, M, params, affine,
+            )
             ns = np.asarray(b.n + [b.n[-1]] * pad, dtype=np.int32)
             ms = np.asarray(b.m + [b.m[-1]] * pad, dtype=np.int32)
             if mesh is not None:
@@ -278,6 +312,11 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
 
         mu1d = np.stack(b.mu1d + [b.mu1d[-1]] * pad)
         mu2d = np.stack(b.mu2d + [b.mu2d[-1]] * pad)
+        _require_int32_safe(
+            max(int(np.abs(mu1d).max(initial=0)),
+                int(np.abs(mu2d).max(initial=0))),
+            N, M, params, affine,
+        )
         n = np.asarray(b.n + [b.n[-1]] * pad, dtype=np.int32)
         m = np.asarray(b.m + [b.m[-1]] * pad, dtype=np.int32)
 
@@ -413,6 +452,11 @@ def align_batch(tables, max_shift: int, params, *, affine: bool,
             sl = slice(lo, lo + chunk)
             mu1p = _narrow_if_fits(stack_padded(b.mu1d[sl], N, M, pad))
             mu2p = _narrow_if_fits(stack_padded(b.mu2d[sl], N, M, pad))
+            _require_int32_safe(
+                max(int(np.abs(mu1p).max(initial=0)),
+                    int(np.abs(mu2p).max(initial=0))),
+                N, M, params, affine,
+            )
             ns = np.asarray(b.n[sl] + [b.n[sl][-1]] * pad,
                             dtype=np.int32)
             ms = np.asarray(b.m[sl] + [b.m[sl][-1]] * pad,
@@ -481,6 +525,11 @@ class PreparedBatch:
             pad = Bp - B
             mu1p = _narrow_if_fits(stack_padded(b.mu1d, N, M, pad))
             mu2p = _narrow_if_fits(stack_padded(b.mu2d, N, M, pad))
+            _require_int32_safe(
+                max(int(np.abs(mu1p).max(initial=0)),
+                    int(np.abs(mu2p).max(initial=0))),
+                N, M, self.params, affine,
+            )
             ns = np.asarray(b.n + [b.n[-1]] * pad, dtype=np.int32)
             ms = np.asarray(b.m + [b.m[-1]] * pad, dtype=np.int32)
             dev = [

@@ -283,3 +283,21 @@ def test_align_batch_empty():
         [], 1, (-150, -50, -150), affine=True
     )
     assert len(scores) == 0 and traces == [] and comps == []
+
+
+def test_batch_int32_overflow_guard():
+    """Unsafe scoring magnitudes must raise, not silently wrap (the
+    batched engines have no int64 twin)."""
+    n = m = 8
+    mu1 = np.full((n + 1, m + 1), 2_000_000, dtype=np.int32)
+    mu2 = np.full((n + 1, m + 1), 2_000_000, dtype=np.int32)
+    big = (-20_000_000, -2_000_000, -2_000_000)
+    with pytest.raises(ValueError, match="int32"):
+        pbatch.score_batch([(mu1, mu2)], 1, big, affine=True,
+                           bucket_quantum=8, engine="pallas")
+    with pytest.raises(ValueError, match="int32"):
+        pbatch.score_batch([(mu1, mu2)], 1, big, affine=True,
+                           bucket_quantum=8, engine="xla")
+    with pytest.raises(ValueError, match="int32"):
+        pbatch.align_batch([(mu1, mu2)], 1, big, affine=True,
+                           bucket_quantum=8)
