@@ -301,3 +301,24 @@ def test_batch_int32_overflow_guard():
     with pytest.raises(ValueError, match="int32"):
         pbatch.align_batch([(mu1, mu2)], 1, big, affine=True,
                            bucket_quantum=8)
+
+
+def test_align_batch_multi_sublane_bucket():
+    """Pairs longer than one lane row (n > 127) exercise the folded
+    layout's SUB > 1 indexing (i -> (i // 128, i % 128))."""
+    rng = np.random.default_rng(17)
+    pairs = [_rand_pair(rng, 130 + i, 131 - i) for i in range(2)]
+    S, beta, gamma, delta = 1, -150, -50, -150
+    scores, traces, comps = pbatch.align_batch(
+        pairs, S, (beta, gamma, delta), affine=True, bucket_quantum=64
+    )
+    from bialign_tpu.ops import xla_dp
+    from bialign_tpu.ops import device_traceback as dtb
+
+    for (mu1, mu2), sc, tr, comp in zip(pairs, scores, traces, comps):
+        band = xla_dp.fill_affine_device(mu1, mu2, S, beta, gamma, delta)
+        want_tr, want_comp = dtb.affine_traceback(band, beta, gamma,
+                                                  delta, mu1, mu2)
+        assert sc == band.final_score()
+        assert tr == want_tr
+        assert comp == want_comp
