@@ -169,19 +169,37 @@ def _fill_cells_fn(mu1, mu2, S, affine, expect, on_tpu):
     mu2d = jax.device_put(mu2d)
 
     def make_chain(K):
+        # a lax.scan of K kernel invocations: one compile regardless of
+        # K, so chains can be long enough that the marginal time clears
+        # the tunnel's multi-ms round-trip jitter even for sub-ms fills
+        # (the unrolled K<=9 chain mismeasured the ms0 kernel by ~50x).
+        # kk perturbs inputs so XLA cannot CSE; the carry serializes.
         @jax.jit
         def f(m1, m2):
-            # kk perturbs inputs so XLA cannot CSE the K kernels
-            return jnp.stack([one(m1 + kk, m2) for kk in range(K)])
+            def body(acc, kk):
+                # maximum (not +) keeps the carry dependency without
+                # int32 overflow over thousands of iterations
+                return jnp.maximum(acc, one(m1 + kk, m2)), None
+            acc, _ = jax.lax.scan(body, jnp.int32(-(1 << 30)),
+                                  jnp.arange(K, dtype=jnp.int32))
+            return acc
         return f, (mu1d, mu2d)
 
     cells = (n + 1) * (m + 1) * (2 * S + 1) ** 2
-    state = {"first": True}
+    state = {"first": True, "k_hi": None}
 
     def measure():
-        exp = expect if state["first"] else None
+        if expect is not None and state["first"]:
+            got = int(np.ravel(jax.device_get(
+                jax.jit(one)(mu1d, mu2d)))[0])
+            assert got == expect, f"SCORE {got}"
         state["first"] = False
-        per = _marginal_time(make_chain, 1, 9, expect=exp)
+        if state["k_hi"] is None:
+            per0 = _marginal_time(make_chain, 8, 72)
+            # size the chain so the marginal span is ~0.25 s of kernels
+            state["k_hi"] = 8 + min(8192, max(64, int(0.25 / max(
+                per0, 1e-6))))
+        per = _marginal_time(make_chain, 8, state["k_hi"])
         return cells / per
 
     return measure

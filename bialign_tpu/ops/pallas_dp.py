@@ -596,6 +596,10 @@ def _floor_pow2(x: int) -> int:
 # (marginal) fewer grid steps — measured no win past 16 on v5e.
 _CHUNK_CAP = 16
 
+# Route max_shift == 0 score-only fills through the 3-state specialized
+# kernel (kept toggleable for A/B measurement).
+_MS0_SPECIALIZE = True
+
 
 def _pick_chunk(S: int, Ppad: int, score_only: bool,
                 interpret: bool) -> int:
@@ -829,7 +833,7 @@ def _affine_pallas(mu1d, mu2d, d_last, max_shift, params, score_only,
     (a multiple of the chunk G), so the compile key depends only on the
     bucket, never the exact pair lengths."""
     S = max_shift
-    if S == 0 and score_only:
+    if S == 0 and score_only and _MS0_SPECIALIZE:
         # W == 1 fast path: 3-state slab, no shift axes (see the
         # max_shift == 0 specialization section above)
         return _affine_pallas_ms0(mu1d, mu2d[:, 0, 0, :], d_last, params,
