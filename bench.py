@@ -15,11 +15,14 @@ XLA scan elsewhere):
 3. toy_protein_batched_pairs_per_s     — batched Pallas kernel, 64 pairs
    (+ B=512 from-tables, + B=512 cached PreparedBatch = serving steady
    state: kernels only, no bucket rebuild/transfer)
-4. toy_protein_batched_alignments_per_s — 64 DISTINCT pairs through the
-   fused batched fill + vmapped device traceback + host decode to the
-   default alignment lines (the BASELINE.md "pair-alignments/s" north
-   star; bit-exactness is pinned by tests/test_batch.py)
+4. toy_protein_batched_alignments_per_s — 64 (and 512) DISTINCT pairs
+   through the fused batched fill + vmapped device traceback + host
+   decode to the default alignment lines (the BASELINE.md
+   "pair-alignments/s" north star; bit-exactness is pinned by
+   tests/test_batch.py)
 5. dnapol1_affine_ms1_e2e_s            — fill + traceback + decode
+   (+ the lowmem twin: Pallas checkpointed band vs the XLA-scan
+   checkpoint fill it replaced)
 6. vpu_peak_fraction_ms1               — measured rate x traced-kernel
    op count (bialign_tpu.utils.opcount) / modeled VPU peak
 

@@ -161,3 +161,41 @@ def test_custom_names(capsys):
     out = capsys.readouterr().out
     assert "Ecoli " in out
     assert "Xantho ss" in out
+
+
+def test_batch_cli_scores_and_alignments(tmp_path, capsys):
+    """Corpus batch runner: TSV in, JSONL out, spool resume works."""
+    import json as _json
+
+    from bialign_tpu.parallel.batch_cli import main as batch_main
+
+    seqA = "RAKLPLKEKKLTATANYHPGIRYIMTGYSAKYIYSSTYARFR"
+    seqB = "KAKLPLKEKKLTRTANYHPGIRYIMTGYSAKRIYSSTYAYFR"
+    strA = "CHHHHHHHHHHHHHCCCCTCEEEEEEECCTCEEEEEEEECCC"
+    strB = "HHHHHHHHHHHHCCCCCCTCEEEEEEECCCCCEEEEEEEECC"
+    tsv = tmp_path / "pairs.tsv"
+    tsv.write_text(
+        "\n".join(f"p{i}\t{seqA}\t{seqB}\t{strA}\t{strB}"
+                  for i in range(3)) + "\n"
+    )
+    spool = tmp_path / "out.jsonl"
+    args = [str(tsv), "--spool", str(spool), "--type", "Protein",
+            "--simmatrix", "BLOSUM62", "--structure_weight", "800",
+            "--gap_opening_cost", "-150", "--gap_cost", "-50",
+            "--shift_cost", "-150", "--max_shift", "1"]
+    assert batch_main(args) == 0
+    out = capsys.readouterr().out
+    recs = [_json.loads(ln) for ln in out.splitlines() if ln]
+    assert [r["score"] for r in recs] == [48500] * 3
+
+    # resume: all ids spooled -> second run emits nothing new
+    assert batch_main(args) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+    # alignments mode emits trace codes
+    spool2 = tmp_path / "aln.jsonl"
+    args2 = [a if a != str(spool) else str(spool2) for a in args]
+    assert batch_main(args2 + ["--alignments"]) == 0
+    recs2 = [_json.loads(ln) for ln in
+             capsys.readouterr().out.splitlines() if ln]
+    assert recs2 and all(r["trace"] for r in recs2)
