@@ -235,12 +235,16 @@ def fill_nonaffine_checkpoint(mu1, mu2, max_shift, gamma, delta, *,
 # -- Pallas checkpointed fill (VERDICT r3 item 5) -----------------------------
 
 def _pallas_ckpt_prep(mu1, mu2, S: int, block: int | None):
-    """p_last diagonal tables + the Pallas block size.
+    """Dense padded tables + the Pallas block size (diagonal tables are
+    built ON DEVICE by the dense ckpt wrapper — a host-side build +
+    transfer dominated long-pair fills).
 
     C is rounded to the kernel's diagonal bucket quantum so C is a
     multiple of every admissible chunk G and divides D_pad."""
     from . import pallas_dp
 
+    mu1 = np.asarray(mu1)
+    mu2 = np.asarray(mu2)
     n = mu1.shape[0] - 1
     m = mu1.shape[1] - 1
     D = n + m + 1
@@ -253,10 +257,15 @@ def _pallas_ckpt_prep(mu1, mu2, S: int, block: int | None):
     # stays O(D/C) slabs either way
     C = ((max(block or max(default_block(D), 2 * q), q) + q - 1) // q) * q
     D_pad = ((D + C - 1) // C) * C
-    mu1d, mu2d = pallas_dp._diag_mu_tables_plast(
-        np.asarray(mu1), np.asarray(mu2), S, D_pad
-    )
-    return mu1d, mu2d, n, m, C, D_pad, interpret
+    Ppad = pallas_dp._round_up(n + 1, pallas_dp.LANES)
+    Mpad = pallas_dp._round_up(m + 1, q)
+    p1 = np.zeros((Ppad, Mpad), dtype=np.int32)
+    p1[: n + 1, : m + 1] = mu1
+    p2 = np.zeros((Ppad, Mpad), dtype=np.int32)
+    p2[: n + 1, : m + 1] = mu2
+    p1 = jnp.asarray(pallas_dp._narrow_if_fits(p1))
+    p2 = jnp.asarray(pallas_dp._narrow_if_fits(p2))
+    return p1, p2, n, m, C, D_pad, interpret
 
 
 def fill_affine_checkpoint_pallas(mu1, mu2, max_shift, beta, gamma, delta,
@@ -270,13 +279,13 @@ def fill_affine_checkpoint_pallas(mu1, mu2, max_shift, beta, gamma, delta,
     from . import pallas_dp
 
     S = max_shift
-    mu1d, mu2d, n, m, C, D_pad, interpret = _pallas_ckpt_prep(
+    p1, p2, n, m, C, D_pad, interpret = _pallas_ckpt_prep(
         mu1, mu2, S, block
     )
     params = (beta, gamma, delta)
     d_last = jnp.asarray([n + m], dtype=jnp.int32)
-    final, ckpts = pallas_dp._affine_pallas_ckpt(
-        mu1d, mu2d, d_last, S, params, C, interpret
+    final, ckpts, mu1d, mu2d = pallas_dp._affine_pallas_ckpt_dense(
+        p1, p2, d_last, D_pad, S, params, C, interpret
     )
     NB = D_pad // C
     W = 2 * S + 1
@@ -296,13 +305,13 @@ def fill_nonaffine_checkpoint_pallas(mu1, mu2, max_shift, gamma, delta, *,
     from . import pallas_dp
 
     S = max_shift
-    mu1d, mu2d, n, m, C, D_pad, interpret = _pallas_ckpt_prep(
+    p1, p2, n, m, C, D_pad, interpret = _pallas_ckpt_prep(
         mu1, mu2, S, block
     )
     params = (gamma, delta)
     d_last = jnp.asarray([n + m], dtype=jnp.int32)
-    final, ckpts = pallas_dp._nonaffine_pallas_ckpt(
-        mu1d, mu2d, d_last, S, params, C, interpret
+    final, ckpts, mu1d, mu2d = pallas_dp._nonaffine_pallas_ckpt_dense(
+        p1, p2, d_last, D_pad, S, params, C, interpret
     )
     NB = D_pad // C
     W = 2 * S + 1

@@ -1562,6 +1562,28 @@ def _affine_ckpt_kernel(G: int, CG: int, S: int, params, SUB: int):
     return kernel
 
 
+def _pick_chunk_ckpt(S: int, Ppad: int, interpret: bool,
+                     affine: bool = True) -> int:
+    """Chunk for the checkpoint-emitting kernels: unlike the plain
+    score-only fill, the in-flight VMEM also holds the double-buffered
+    2-slab checkpoint block and the final-slab block, so the mu-block
+    budget shrinks with the slab size (long pairs hit the 16 MB scoped
+    limit otherwise — seen at Ppad 4096)."""
+    if interpret:
+        return 1
+    W = 2 * S + 1
+    q = N_STATES if affine else 1
+    slab_bytes = q * W * W * Ppad * 4
+    per_diag = 2 * (W * W * Ppad * 4 + Ppad * 4)
+    # fixed VMEM: 2 scratch slabs + double-buffered (2-slab ckpt block +
+    # final-slab block) = 8 slabs, plus update temporaries (~1 slab);
+    # budget the mu blocks against a conservative 9.5 MB of the 16 MB
+    # scoped limit (measured: 12 MB still tripped it at Ppad 4096)
+    budget = max(256 * 1024,
+                 int(9.5 * 1024 * 1024) - 6 * slab_bytes)
+    return _floor_pow2(max(1, min(_CHUNK_CAP, budget // per_diag)))
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def _affine_pallas_ckpt(mu1d, mu2d, d_last, max_shift, params, C,
                         interpret):
@@ -1573,7 +1595,7 @@ def _affine_pallas_ckpt(mu1d, mu2d, d_last, max_shift, params, C,
     Q = N_STATES
     D_pad, Ppad = mu1d.shape
     SUB = Ppad // LANES
-    G = min(_pick_chunk(S, Ppad, True, interpret), C)
+    G = min(_pick_chunk_ckpt(S, Ppad, interpret, True), C)
     while C % G:
         G //= 2
     CG = C // G
@@ -1751,7 +1773,7 @@ def _nonaffine_pallas_ckpt(mu1d, mu2d, d_last, max_shift, params, C,
     W = 2 * S + 1
     D_pad, Ppad = mu1d.shape
     SUB = Ppad // LANES
-    G = min(_pick_chunk_nonaffine(S, Ppad, True, interpret), C)
+    G = min(_pick_chunk_ckpt(S, Ppad, interpret, False), C)
     while C % G:
         G //= 2
     CG = C // G
@@ -1871,3 +1893,28 @@ def _nonaffine_pallas_block(ck, mu1blk, mu2blk, d0, max_shift, params,
         ),
     )(d0, ckt, mu1t, mu2t)
     return ys.reshape(C, W, W, SUB * LANES)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _affine_pallas_ckpt_dense(mu1p, mu2p, d_last, D_pad, max_shift,
+                              params, C, interpret):
+    """Dense-input checkpointed fill: diagonal tables are built ON
+    DEVICE (the host-side O(D*W^2*P) numpy build + multi-GB transfer
+    dominated long-pair lowmem fills), then the checkpoint kernel runs.
+    Returns (final, ckpts, mu1d, mu2d) — the diag tables stay resident
+    for the blockwise rematerialization."""
+    S = max_shift
+    mu1d, mu2d = _diag_tables_device(mu1p, mu2p, S, D_pad)
+    final, ckpts = _affine_pallas_ckpt(mu1d, mu2d, d_last, S, params, C,
+                                       interpret)
+    return final, ckpts, mu1d, mu2d
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _nonaffine_pallas_ckpt_dense(mu1p, mu2p, d_last, D_pad, max_shift,
+                                 params, C, interpret):
+    S = max_shift
+    mu1d, mu2d = _diag_tables_device(mu1p, mu2p, S, D_pad)
+    final, ckpts = _nonaffine_pallas_ckpt(mu1d, mu2d, d_last, S, params,
+                                          C, interpret)
+    return final, ckpts, mu1d, mu2d
