@@ -44,10 +44,12 @@ and batched metrics are honest wall-clock (inherently round-trip-bound).
 
 Speed-of-light model for metric 6: ops/cell is derived by tracing the
 kernel's slab update and counting ALU-equation elements
-(utils/opcount.py — no hand-counted literal); VPU peak is modeled as
-8 sublanes x 128 lanes x 4 ALU slots x 0.94 GHz ~ 3.85e12 int32 ops/s
-(v5e-class, public figures).  Both the genuine-cell fraction and the
-executed-op fraction (incl. lane padding) are reported.
+(utils/opcount.py — no hand-counted literal); the VPU peak model (8
+sublanes x 128 lanes x 8 ALU slots x 0.94 GHz ~ 7.7e12 ops/s, slot
+count inferred — a 4-slot model would put the measured executed-op
+rate above "peak") lives in opcount.VPU_PEAK_OPS with its rationale.
+Both the genuine-cell fraction and the executed-op fraction (incl.
+the ~2.2x row/diagonal padding) are reported.
 """
 
 import json
@@ -89,7 +91,7 @@ TOY_STRA = "CHHHHHHHHHHHHHCCCCTCEEEEEEECCTCEEEEEEEECCC"
 TOY_STRB = "HHHHHHHHHHHHCCCCCCTCEEEEEEECCCCCEEEEEEEECC"
 
 
-def _spread(metric_fn, bigger_is_better=True):
+def _spread(metric_fn):
     """Run a measurement RUNS times; return (median, spread_fields)."""
     vals = [metric_fn() for _ in range(RUNS)]
     med = statistics.median(vals)

@@ -156,44 +156,71 @@ def _device_put_sharded(arr, mesh):
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
-def _require_int32_safe(amax: int, N: int, M: int, params, affine: bool):
-    """Bucket-level int32-overflow guard for the batched engines.
+def _require_int32_safe(tables, params, affine: bool):
+    """Entry-level int32-overflow guard for the batched engines.
 
     The batched kernels compute in int32 with a -2^30 sentinel;
     :class:`bialign_tpu.BiAligner` certifies this per pair
     (ops/cases.check_int32_safe) and falls back to an int64 XLA scan,
-    but the batch paths have no int64 twin — so an unsafe bucket must
-    fail loudly, not silently wrap.  Conservative bucket-level form of
-    ops/cases.int32_value_bound (bucket N+M and the stacked tables' max
-    magnitude bound every pair in the bucket).
+    but the batch paths have no int64 twin — so an unsafe pair must
+    fail loudly, not silently wrap.  Checked on the ORIGINAL tables
+    before any int32 cast (the bucket-padding cast would wrap first and
+    hide the magnitude), per-pair form of ops/cases.int32_value_bound.
     """
     if affine:
         beta, gamma, delta = params
     else:
         beta = 0
         gamma, delta = params
-    per_col = (2 * abs(int(gamma)) + 2 * abs(int(beta))
-               + 2 * abs(int(delta)) + 2 * int(amax))
-    bound = 2 * (N + M + 2) * per_col
-    if not ((-(1 << 30)) - bound > np.iinfo(np.int32).min + (1 << 20)):
-        raise ValueError(
-            "scoring parameters/tables exceed the certified int32 range "
-            f"for bucket ({N}, {M}) (value drift bound {bound}); the "
-            "batched engines have no int64 path — score these pairs "
-            "individually via BiAligner (engine='xla'), which falls back "
-            "to the overflow-safe int64 scan"
-        )
+    for idx, (mu1, mu2) in enumerate(tables):
+        amax = max(int(np.abs(mu1).max(initial=0)),
+                   int(np.abs(mu2).max(initial=0)))
+        n = mu1.shape[0] - 1
+        m = mu1.shape[1] - 1
+        per_col = (2 * abs(int(gamma)) + 2 * abs(int(beta))
+                   + 2 * abs(int(delta)) + 2 * amax)
+        bound = 2 * (n + m + 2) * per_col
+        if not ((-(1 << 30)) - bound > np.iinfo(np.int32).min
+                + (1 << 20)):
+            raise ValueError(
+                "scoring parameters/tables exceed the certified int32 "
+                f"range for pair {idx} (value drift bound {bound}); the "
+                "batched engines have no int64 path — score these pairs "
+                "individually via BiAligner (engine='xla'), which falls "
+                "back to the overflow-safe int64 scan"
+            )
 
 
 def _on_tpu() -> bool:
     """engine="auto" policy: the Pallas batched path runs on a TPU
-    (single-device or mesh), the vmapped XLA scan elsewhere."""
-    try:
-        import jax
+    (single-device or mesh), the vmapped XLA scan elsewhere.  Delegates
+    to the single platform probe (lazily — importing pallas costs)."""
+    from ..ops.pallas_dp import _on_tpu as probe
 
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+    return probe()
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_scores_fn(D, max_shift, params, mesh, affine):
+    """Cached jitted shard_map of the batched score kernel — built once
+    per (bucket geometry, params, mesh), not per chunk (re-tracing the
+    wrapper per call was pure dispatch-latency waste)."""
+    from ..ops import pallas_dp
+
+    kern = (pallas_dp._affine_pallas_batched_dense if affine
+            else pallas_dp._nonaffine_pallas_batched_dense)
+
+    def shard_fn(m1, m2, nn, mm):
+        return kern(m1, m2, nn, mm, D, max_shift, params)
+
+    return jax.jit(jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+        # pallas_call's output avals carry no varying-mesh-axes typing
+        check_vma=False,
+    ))
 
 
 def _pallas_scores_sharded(mu1p, mu2p, ns, ms, D, max_shift, params, mesh,
@@ -205,27 +232,12 @@ def _pallas_scores_sharded(mu1p, mu2p, ns, ms, D, max_shift, params, mesh,
     reassembles the scores (one tiny gather).  The caller pads the batch
     to a multiple of the axis size.
     """
-    from ..ops import pallas_dp
-
-    kern = (pallas_dp._affine_pallas_batched_dense if affine
-            else pallas_dp._nonaffine_pallas_batched_dense)
-
-    def shard_fn(m1, m2, nn, mm):
-        return kern(m1, m2, nn, mm, D, max_shift, tuple(params))
-
-    fn = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data"), P("data")),
-        out_specs=P("data"),
-        # pallas_call's output avals carry no varying-mesh-axes typing
-        check_vma=False,
-    )
+    fn = _sharded_scores_fn(D, max_shift, tuple(params), mesh, affine)
     args = [
         _device_put_sharded(jnp.asarray(x), mesh)
         for x in (mu1p, mu2p, ns, ms)
     ]
-    return np.asarray(jax.device_get(jax.jit(fn)(*args)))
+    return np.asarray(jax.device_get(fn(*args)))
 
 
 def score_batch(tables, max_shift: int, params, *, affine: bool,
@@ -247,9 +259,11 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
     import jax.numpy as jnp
 
     if isinstance(tables, PreparedBatch):
+        tables.check_compatible(max_shift, params, affine, mesh)
         return tables.scores()
 
     tables = list(tables)
+    _require_int32_safe(tables, params, affine)
     use_pallas = (
         engine == "pallas"
         or (engine == "auto" and _on_tpu())
@@ -274,11 +288,6 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
                                                           pad))
             mu2p = pallas_dp._narrow_if_fits(stack_padded(b.mu2d, N, M,
                                                           pad))
-            _require_int32_safe(
-                max(int(np.abs(mu1p).max(initial=0)),
-                    int(np.abs(mu2p).max(initial=0))),
-                N, M, params, affine,
-            )
             ns = np.asarray(b.n + [b.n[-1]] * pad, dtype=np.int32)
             ms = np.asarray(b.m + [b.m[-1]] * pad, dtype=np.int32)
             if mesh is not None:
@@ -312,11 +321,6 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
 
         mu1d = np.stack(b.mu1d + [b.mu1d[-1]] * pad)
         mu2d = np.stack(b.mu2d + [b.mu2d[-1]] * pad)
-        _require_int32_safe(
-            max(int(np.abs(mu1d).max(initial=0)),
-                int(np.abs(mu2d).max(initial=0))),
-            N, M, params, affine,
-        )
         n = np.asarray(b.n + [b.n[-1]] * pad, dtype=np.int32)
         m = np.asarray(b.m + [b.m[-1]] * pad, dtype=np.int32)
 
@@ -391,23 +395,30 @@ def _align_sharded(mu1p, mu2p, ns, ms, D, max_shift, params, mesh,
     device fills and walks its local slice of the bucket's batch axis
     (per-pair DP and traceback are chip-local; only the tiny code/score
     gather crosses chips via the output sharding)."""
+    fn = _sharded_align_fn(D, max_shift, tuple(params), mesh, affine)
+    args = [
+        _device_put_sharded(jnp.asarray(x), mesh)
+        for x in (mu1p, mu2p, ns, ms)
+    ]
+    return jax.device_get(fn(*args))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_align_fn(D, max_shift, params, mesh, affine):
+    """Cached jitted shard_map of the fused fill+walk (see
+    :func:`_sharded_scores_fn` for why it must not rebuild per chunk)."""
     inner = _fill_walk_affine if affine else _fill_walk_nonaffine
 
     def shard_fn(m1, m2, nn, mm):
-        return inner(m1, m2, nn, mm, D, max_shift, tuple(params), None)
+        return inner(m1, m2, nn, mm, D, max_shift, params, None)
 
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P("data"), P("data"), P("data"), P("data")),
         out_specs=P("data"),
         check_vma=False,
-    )
-    args = [
-        _device_put_sharded(jnp.asarray(x), mesh)
-        for x in (mu1p, mu2p, ns, ms)
-    ]
-    return jax.device_get(jax.jit(fn)(*args))
+    ))
 
 
 def align_batch(tables, max_shift: int, params, *, affine: bool,
@@ -432,9 +443,11 @@ def align_batch(tables, max_shift: int, params, *, affine: bool,
     walks run chip-local, scaling the BASELINE.md pair-alignments/s
     north star to N chips/hosts.
     """
+    from ..ops.device_traceback import decode_walk_codes
     from ..ops.pallas_dp import _narrow_if_fits
 
     tables = list(tables)
+    _require_int32_safe(tables, params, affine)
     buckets = make_buckets_dense(tables, bucket_quantum)
     scores = np.zeros(len(tables), dtype=np.int64)
     traces: list = [None] * len(tables)
@@ -452,17 +465,10 @@ def align_batch(tables, max_shift: int, params, *, affine: bool,
             sl = slice(lo, lo + chunk)
             mu1p = _narrow_if_fits(stack_padded(b.mu1d[sl], N, M, pad))
             mu2p = _narrow_if_fits(stack_padded(b.mu2d[sl], N, M, pad))
-            _require_int32_safe(
-                max(int(np.abs(mu1p).max(initial=0)),
-                    int(np.abs(mu2p).max(initial=0))),
-                N, M, params, affine,
-            )
             ns = np.asarray(b.n[sl] + [b.n[sl][-1]] * pad,
                             dtype=np.int32)
             ms = np.asarray(b.m[sl] + [b.m[sl][-1]] * pad,
                             dtype=np.int32)
-            from ..ops.device_traceback import decode_walk_codes
-
             if mesh is not None:
                 out = _align_sharded(mu1p, mu2p, ns, ms, D, max_shift,
                                      params, mesh, affine)
@@ -510,6 +516,7 @@ class PreparedBatch:
         from ..ops.pallas_dp import _narrow_if_fits
 
         tables = list(tables)
+        _require_int32_safe(tables, params, affine)
         self.max_shift = max_shift
         self.params = tuple(params)
         self.affine = affine
@@ -525,11 +532,6 @@ class PreparedBatch:
             pad = Bp - B
             mu1p = _narrow_if_fits(stack_padded(b.mu1d, N, M, pad))
             mu2p = _narrow_if_fits(stack_padded(b.mu2d, N, M, pad))
-            _require_int32_safe(
-                max(int(np.abs(mu1p).max(initial=0)),
-                    int(np.abs(mu2p).max(initial=0))),
-                N, M, self.params, affine,
-            )
             ns = np.asarray(b.n + [b.n[-1]] * pad, dtype=np.int32)
             ms = np.asarray(b.m + [b.m[-1]] * pad, dtype=np.int32)
             dev = [
@@ -537,6 +539,21 @@ class PreparedBatch:
                 for x in (mu1p, mu2p, ns, ms)
             ]
             self._buckets.append((N, M, b.indices, dev))
+
+    def check_compatible(self, max_shift: int, params, affine: bool,
+                         mesh) -> None:
+        """Fail loudly if a score_batch call's arguments differ from
+        what this batch was prepared with — the prepared device arrays
+        bake in those choices, so silently returning stale-parameter
+        scores would be wrong results, not a cache hit."""
+        got = (max_shift, tuple(params), affine, mesh)
+        have = (self.max_shift, self.params, self.affine, self.mesh)
+        if got != have:
+            raise ValueError(
+                "PreparedBatch was built with (max_shift, params, "
+                f"affine, mesh)={have} but score_batch was called with "
+                f"{got}; rebuild the PreparedBatch for the new settings"
+            )
 
     def scores(self) -> np.ndarray:
         """Score every pair; returns int64 scores in the original input

@@ -87,7 +87,7 @@ def main(argv=None) -> int:
     add_batch_parameters(parser)
     ns = parser.parse_args(argv)
 
-    from .driver import StreamingAligner, init_distributed
+    from .driver import StreamingAligner, init_distributed, trace_to_codes
 
     pidx, pcount = (0, 1)
     if ns.distributed:
@@ -115,8 +115,7 @@ def main(argv=None) -> int:
         if ns.alignments:
             pid, score, trace = result
             rec = {"id": pid, "score": score,
-                   "trace": [c0 * 8 + c1 * 4 + c2 * 2 + c3
-                             for (c0, c1, c2, c3) in trace]}
+                   "trace": trace_to_codes(trace)}
         else:
             pid, score = result
             rec = {"id": pid, "score": score}

@@ -171,10 +171,8 @@ class StreamingAligner:
             if self.alignments:
                 trace = traces[pos]
                 if self.spool is not None:
-                    codes = [c0 * 8 + c1 * 4 + c2 * 2 + c3
-                             for (c0, c1, c2, c3) in trace]
                     self.spool.write(rec.id, int(score),
-                                     {"trace": codes,
+                                     {"trace": trace_to_codes(trace),
                                       "complete": bool(complete[pos])})
                 yield rec.id, int(score), trace
             else:
@@ -188,6 +186,12 @@ def trace_from_codes(codes) -> list:
     the format :meth:`bialign_tpu.BiAligner.traceback` returns."""
     return [((c >> 3) & 1, (c >> 2) & 1, (c >> 1) & 1, c & 1)
             for c in codes]
+
+
+def trace_to_codes(trace) -> list:
+    """Inverse of :func:`trace_from_codes` — the single place the
+    column bit-packing convention lives on the host side."""
+    return [c0 * 8 + c1 * 4 + c2 * 2 + c3 for (c0, c1, c2, c3) in trace]
 
 
 def merge_spools(paths) -> dict:
@@ -208,18 +212,17 @@ def merge_spools(paths) -> dict:
             lines = fh.readlines()
         for ln_no, line in enumerate(lines):
             is_last = ln_no == len(lines) - 1
-            torn = not line.endswith(b"\n")
-            if torn and is_last:
-                break
+            if is_last and not line.endswith(b"\n"):
+                break  # torn tail: crashed mid-write of the last record
             try:
                 rec = json.loads(line)
                 pid = rec["id"]
             except (ValueError, KeyError, TypeError):
-                if is_last:
-                    break  # torn tail: crashed mid-write of the last record
+                # a newline-TERMINATED unparsable line is corruption
+                # (not a mid-write tear), wherever it sits — raise
                 raise ValueError(
-                    f"corrupt spool record mid-file ({path}:{ln_no + 1}); "
-                    "refusing to silently drop the records after it"
+                    f"corrupt spool record ({path}:{ln_no + 1}); "
+                    "refusing to silently drop records"
                 )
             if pid in merged and merged[pid] != rec:
                 raise ValueError(

@@ -322,3 +322,14 @@ def test_align_batch_multi_sublane_bucket():
         assert sc == band.final_score()
         assert tr == want_tr
         assert comp == want_comp
+
+
+def test_prepared_batch_arg_mismatch_raises(pairs):
+    """score_batch(PreparedBatch) must reject drifted arguments instead
+    of silently returning stale-parameter scores (review r4)."""
+    prep = pbatch.PreparedBatch(pairs, 1, (-150, -50, -150), affine=True,
+                                bucket_quantum=8)
+    with pytest.raises(ValueError, match="PreparedBatch"):
+        pbatch.score_batch(prep, 2, (-150, -50, -150), affine=True)
+    with pytest.raises(ValueError, match="PreparedBatch"):
+        pbatch.score_batch(prep, 1, (-200, -80, -200), affine=True)

@@ -132,7 +132,7 @@ def test_merge_spools_midfile_corruption_raises(tmp_path):
                      + json.dumps({"id": "b", "score": 2}) + "\n")
     # a corrupt line with complete records AFTER it must raise, not
     # silently discard record "b" (ADVICE r3)
-    with pytest.raises(ValueError, match="mid-file"):
+    with pytest.raises(ValueError, match="corrupt"):
         merge_spools([str(shard)])
 
 
@@ -169,3 +169,17 @@ def test_streaming_aligner_alignments_mode(tmp_path):
     assert all(r["complete"] for r in recs_spooled)
     assert ([tuple(c) for c in trace_from_codes(recs_spooled[0]["trace"])]
             == want_trace)
+
+
+def test_merge_spools_terminated_corrupt_final_line_raises(tmp_path):
+    """A newline-TERMINATED corrupt final line is corruption (not a
+    mid-write tear) and must raise (review r4)."""
+    import pytest
+
+    from bialign_tpu.parallel.driver import merge_spools
+
+    shard = tmp_path / "d.jsonl"
+    shard.write_text(json.dumps({"id": "a", "score": 1}) + "\n"
+                     + '{"id": "b", "sco\n')
+    with pytest.raises(ValueError, match="corrupt"):
+        merge_spools([str(shard)])
