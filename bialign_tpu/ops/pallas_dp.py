@@ -695,9 +695,11 @@ def _ms0_live_tables(params):
     return live, const.astype(np.int32), mu1c, mu2c
 
 
-def _make_update_ms0(params, SUB: int):
+def _make_update_ms0(params, SUB: int, packed: bool = False):
     """Per-diagonal slab update for the S == 0 specialization; slabs are
-    [3, SUB, LANES] (live states only, no shift axes)."""
+    [3, SUB, LANES] (live states only, no shift axes).  ``packed`` as in
+    :func:`_make_update`: each sublane is an independent pair with
+    lattice rows in the lanes."""
     live, const, mu1c, mu2c = _ms0_live_tables(params)
     cols = [STATES[q] for q in live]
     shape2 = (SUB, LANES)
@@ -705,11 +707,15 @@ def _make_update_ms0(params, SUB: int):
     def update(d, mu1_row, mu2_row, vm1, vm2):
         sub_i = jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
         lane_i = jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
-        i2 = sub_i * LANES + lane_i
+        i2 = lane_i if packed else sub_i * LANES + lane_i
         j2 = d - i2
 
-        vm1_p = _shift_i(vm1, sub_i, lane_i)
-        vm2_p = _shift_i(vm2, sub_i, lane_i)
+        if packed:
+            vm1_p = _shift_i_packed(vm1, lane_i)
+            vm2_p = _shift_i_packed(vm2, lane_i)
+        else:
+            vm1_p = _shift_i(vm1, sub_i, lane_i)
+            vm2_p = _shift_i(vm2, sub_i, lane_i)
         preds = {(0, 1): vm1, (1, 0): vm1_p, (1, 1): vm2_p}
 
         protect = (d == 0) & (i2 == 0)
@@ -1131,6 +1137,44 @@ def _packed_batched_kernel(G: int, Dg: int, S: int, params, affine: bool):
     return kernel
 
 
+def _packed_ms0_kernel(G: int, Dg: int, params):
+    """Sublane-packed batched kernel for the affine S == 0 fast path:
+    [3, PACK, LANES] live-state slabs (see the max_shift == 0
+    specialization section) — the batched fills are compute-dense, so
+    the ~8x op reduction materializes here, unlike the latency-bound
+    single-pair ms0 fill."""
+    update = _make_update_ms0(params, PACK, packed=True)
+
+    def kernel(mu1_ref, mu2_ref, dl_ref, out_ref, vm1_ref, vm2_ref,
+               acc_ref):
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            vm1_ref[:] = jnp.full((3, PACK, LANES), INVALID, jnp.int32)
+            vm2_ref[:] = jnp.full((3, PACK, LANES), INVALID, jnp.int32)
+            acc_ref[:] = jnp.full((PACK, LANES), NEG_INF, jnp.int32)
+
+        def body(u, carry):
+            v1, v2 = carry
+            d = g * G + u
+            val = update(d, mu1_ref[pl.ds(u, 1)][0],
+                         mu2_ref[pl.ds(u, 1)][0], v1, v2)
+            cand = jnp.max(val, axis=0)            # [PACK, LANES]
+            acc_ref[:] = jnp.where(dl_ref[0] == d, cand, acc_ref[:])
+            return val, v1
+
+        v1, v2 = jax.lax.fori_loop(0, G, body, (vm1_ref[:], vm2_ref[:]))
+        vm1_ref[:] = v1
+        vm2_ref[:] = v2
+
+        @pl.when(g == Dg - 1)
+        def _():
+            out_ref[0] = acc_ref[:]
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def _pallas_batched_packed(mu1d, mu2d, ns, ms, D, max_shift, params,
                            affine=True):
@@ -1159,6 +1203,35 @@ def _pallas_batched_packed(mu1d, mu2d, ns, ms, D, max_shift, params,
         (ns + ms).astype(jnp.int32).reshape(Bg, PACK)[:, :, None],
         (Bg, PACK, LANES),
     )
+
+    if S == 0 and affine and _MS0_SPECIALIZE:
+        kernel = _packed_ms0_kernel(G, Dg, params)
+        slab = pltpu.VMEM((3, PACK, LANES), jnp.int32)
+        acc = pltpu.VMEM((PACK, LANES), jnp.int32)
+        out = pl.pallas_call(
+            kernel,
+            grid=(Bg, Dg),
+            in_specs=[
+                pl.BlockSpec((G, PACK, LANES),
+                             lambda b, g: (b * Dg + g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, PACK, LANES),
+                             lambda b, g: (b * Dg + g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, PACK, LANES), lambda b, g: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, PACK, LANES),
+                                   lambda b, g: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Bg, PACK, LANES), jnp.int32),
+            scratch_shapes=[slab, slab, acc],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+        )(m1, m2.reshape(Bg * D, PACK, LANES), dl)
+        return out.reshape(B, LANES)[jnp.arange(B), ns]
 
     kernel = _packed_batched_kernel(G, Dg, S, params, affine)
     Q = N_STATES

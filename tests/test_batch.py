@@ -333,3 +333,17 @@ def test_prepared_batch_arg_mismatch_raises(pairs):
         pbatch.score_batch(prep, 2, (-150, -50, -150), affine=True)
     with pytest.raises(ValueError, match="PreparedBatch"):
         pbatch.score_batch(prep, 1, (-200, -80, -200), affine=True)
+
+
+def test_packed_ms0_specialized_matches_oracle():
+    """max_shift 0 batched scoring routes through the packed 3-state
+    kernel; must equal the per-pair oracle."""
+    rng = np.random.default_rng(23)
+    pairs = [_rand_pair(rng, 5 + (i % 4), 6 + (i % 3)) for i in range(16)]
+    beta, gamma, delta = -150, -50, -150
+    want = _oracle_scores(pairs, 0, beta, gamma, delta, True)
+    got = pbatch.score_batch(
+        pairs, 0, (beta, gamma, delta), affine=True, bucket_quantum=8,
+        engine="pallas",
+    )
+    assert (got == want).all(), (got, want)
