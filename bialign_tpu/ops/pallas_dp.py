@@ -1140,9 +1140,10 @@ def _packed_batched_kernel(G: int, Dg: int, S: int, params, affine: bool):
 def _packed_ms0_kernel(G: int, Dg: int, params):
     """Sublane-packed batched kernel for the affine S == 0 fast path:
     [3, PACK, LANES] live-state slabs (see the max_shift == 0
-    specialization section) — the batched fills are compute-dense, so
-    the ~8x op reduction materializes here, unlike the latency-bound
-    single-pair ms0 fill."""
+    specialization section).  Measured gain over the generic 9-state
+    packed kernel is modest for toy buckets (~4% at B=512 on v5e —
+    grid-step overhead dominates at W == 1); the op reduction grows
+    with bucket length."""
     update = _make_update_ms0(params, PACK, packed=True)
 
     def kernel(mu1_ref, mu2_ref, dl_ref, out_ref, vm1_ref, vm2_ref,
