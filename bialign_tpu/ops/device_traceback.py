@@ -117,6 +117,10 @@ def _affine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n, m):
     # ys[d, ((q*W + sk)*W + sl)*SUB + i//LANES, i%LANES] (see
     # pallas_dp._affine_batched_kernel)
     folded = p_last == "folded"
+    if folded:
+        # the folded index formulas below hard-code the kernel lane
+        # width; a divergence must fail loudly, not decode garbage
+        assert ys.shape[-1] == _LANES, (ys.shape, _LANES)
     SUBw = ys.shape[1] // (N_STATES * W * W) if folded else 0
 
     def cell(q, i, j, k, l):
@@ -310,6 +314,9 @@ def _nonaffine_walk(ys, mu1, mu2, case_const, max_shift, p_last, n, m):
     CODES = jnp.asarray(_encode_col(np.asarray(NONAFFINE_COLS)))
 
     folded = p_last == "folded"
+    if folded:
+        # lane width must match the kernel's (see _affine_walk)
+        assert ys.shape[-1] == _LANES, (ys.shape, _LANES)
     SUBw = ys.shape[1] // (W * W) if folded else 0
 
     def cond(st):

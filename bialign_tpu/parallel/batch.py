@@ -241,7 +241,7 @@ def _pallas_scores_sharded(mu1p, mu2p, ns, ms, D, max_shift, params, mesh,
 
 
 def score_batch(tables, max_shift: int, params, *, affine: bool,
-                mesh: Mesh | None = None, bucket_quantum: int = 64,
+                mesh: Mesh | None = None, bucket_quantum: int | None = None,
                 engine: str = "auto"):
     """Score a batch of pairs; returns int scores in input order.
 
@@ -259,9 +259,13 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
     import jax.numpy as jnp
 
     if isinstance(tables, PreparedBatch):
-        tables.check_compatible(max_shift, params, affine, mesh)
+        tables.check_compatible(max_shift, params, affine, mesh,
+                                engine=engine,
+                                bucket_quantum=bucket_quantum)
         return tables.scores()
 
+    if bucket_quantum is None:
+        bucket_quantum = 64
     tables = list(tables)
     _require_int32_safe(tables, params, affine)
     use_pallas = (
@@ -521,6 +525,7 @@ class PreparedBatch:
         self.params = tuple(params)
         self.affine = affine
         self.mesh = mesh
+        self.bucket_quantum = bucket_quantum
         self.n_pairs = len(tables)
         self._buckets = []
         for (N, M), b in make_buckets_dense(tables, bucket_quantum).items():
@@ -541,11 +546,16 @@ class PreparedBatch:
             self._buckets.append((N, M, b.indices, dev))
 
     def check_compatible(self, max_shift: int, params, affine: bool,
-                         mesh) -> None:
+                         mesh, *, engine: str = "auto",
+                         bucket_quantum: int | None = None) -> None:
         """Fail loudly if a score_batch call's arguments differ from
         what this batch was prepared with — the prepared device arrays
         bake in those choices, so silently returning stale-parameter
-        scores would be wrong results, not a cache hit."""
+        scores would be wrong results, not a cache hit.  The same
+        strictness applies to ``engine`` (the prepared buckets always
+        run the Pallas batched kernels) and to an explicit
+        ``bucket_quantum`` that differs from the one the buckets were
+        built with."""
         got = (max_shift, tuple(params), affine, mesh)
         have = (self.max_shift, self.params, self.affine, self.mesh)
         if got != have:
@@ -553,6 +563,19 @@ class PreparedBatch:
                 "PreparedBatch was built with (max_shift, params, "
                 f"affine, mesh)={have} but score_batch was called with "
                 f"{got}; rebuild the PreparedBatch for the new settings"
+            )
+        if engine not in ("auto", "pallas"):
+            raise ValueError(
+                f"engine={engine!r} conflicts with a PreparedBatch: its "
+                "device buckets always run the Pallas batched kernels; "
+                "pass the raw tables to score_batch for another engine"
+            )
+        if bucket_quantum is not None and \
+                bucket_quantum != self.bucket_quantum:
+            raise ValueError(
+                f"bucket_quantum={bucket_quantum} conflicts with the "
+                f"PreparedBatch (built with {self.bucket_quantum}); "
+                "rebuild it to re-bucket"
             )
 
     def scores(self) -> np.ndarray:

@@ -55,8 +55,10 @@ def add_batch_parameters(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--spool", default=None,
                         help="JSONL results spool (enables resume)")
     parser.add_argument("--alignments", action="store_true",
-                        help="batched tracebacks too: spool/emit trace "
-                        "codes, print decoded alignments")
+                        help="batched tracebacks too: each emitted JSON "
+                        "record carries the packed trace codes (decode "
+                        "via bialign_tpu.parallel.driver.trace_from_codes"
+                        " + render.decode)")
     parser.add_argument("--chunk_pairs", type=int, default=256)
     parser.add_argument("--bucket_quantum", type=int, default=64)
     parser.add_argument("--distributed", action="store_true",

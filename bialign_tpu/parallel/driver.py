@@ -208,28 +208,30 @@ def merge_spools(paths) -> dict:
     """
     merged: dict = {}
     for path in paths:
+        # stream (alignment records carry O(n+m) traces; buffering a
+        # whole shard was a memory regression); "is this the final
+        # line" comes from the newline terminator alone — a torn tail
+        # is by definition the unterminated last line
         with open(path, "rb") as fh:
-            lines = fh.readlines()
-        for ln_no, line in enumerate(lines):
-            is_last = ln_no == len(lines) - 1
-            if is_last and not line.endswith(b"\n"):
-                break  # torn tail: crashed mid-write of the last record
-            try:
-                rec = json.loads(line)
-                pid = rec["id"]
-            except (ValueError, KeyError, TypeError):
-                # a newline-TERMINATED unparsable line is corruption
-                # (not a mid-write tear), wherever it sits — raise
-                raise ValueError(
-                    f"corrupt spool record ({path}:{ln_no + 1}); "
-                    "refusing to silently drop records"
-                )
-            if pid in merged and merged[pid] != rec:
-                raise ValueError(
-                    f"conflicting records for pair {pid!r} across "
-                    f"spool shards (last: {path})"
-                )
-            merged[pid] = rec
+            for ln_no, line in enumerate(fh, start=1):
+                if not line.endswith(b"\n"):
+                    break  # torn tail: crashed mid-write of last record
+                try:
+                    rec = json.loads(line)
+                    pid = rec["id"]
+                except (ValueError, KeyError, TypeError):
+                    # a newline-TERMINATED unparsable line is corruption
+                    # (not a mid-write tear), wherever it sits — raise
+                    raise ValueError(
+                        f"corrupt spool record ({path}:{ln_no}); "
+                        "refusing to silently drop records"
+                    )
+                if pid in merged and merged[pid] != rec:
+                    raise ValueError(
+                        f"conflicting records for pair {pid!r} across "
+                        f"spool shards (last: {path})"
+                    )
+                merged[pid] = rec
     return merged
 
 

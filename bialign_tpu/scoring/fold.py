@@ -21,9 +21,17 @@ Algorithm (host numpy, float64, O(n^3) inside / sparse outside):
   P[i,j]  = Qb[i,j] * ( Qext + sum over direct enclosers (k,l):
             P[k,l] * Q[k+1,i-1] * Q[j+1,l-1] / Q[k+1,l-1] )
 
-with per-base rescaling to keep doubles in range.  The outside sum visits
-only enclosers with non-negligible probability, giving ~O(n^3) practical
-cost.
+with per-base rescaling to keep doubles in range.
+
+Both recursions are numpy-vectorized and exactly O(n^3) (the round-4
+review flagged the pure-Python triple loop as the wall at ~1k nt when
+ViennaRNA is absent — the corpus case the reference offloads to
+ViennaRNA's C, pyx:347-353): the inside runs one masked mat-vec per
+column (BLAS) and the outside maintains the encloser sum G[k, j]
+incrementally with one O(n^2) rank-style update + one O(n^2)
+contraction per span (no probability cutoff).  A 300-nt RNA
+preprocesses in well under a second; ~1k nt in a few seconds
+(tests/test_fold.py).
 """
 
 from __future__ import annotations
@@ -38,7 +46,6 @@ PAIR_WEIGHTS = {
     ("G", "U"): 2.0, ("U", "G"): 2.0,
 }
 MIN_HAIRPIN = 3  # minimum unpaired bases enclosed by a pair
-_PROB_CUTOFF = 1e-7
 
 
 def _weight_matrix(seq: str, scale: float) -> np.ndarray:
@@ -58,38 +65,37 @@ def partition_bpp(seq: str) -> np.ndarray:
     n = len(seq)
     if n == 0:
         return np.zeros((1, 1))
-    # rescale so Q stays in double range: each base contributes ~1/scale
-    scale = max(1.0, (sum(PAIR_WEIGHTS.values()) / 6.0) ** 0.25)
+    # rescale so Q stays in double range (the math is homogeneous in a
+    # per-base factor, so any uniform scale cancels exactly in P): aim
+    # the DOMINANT per-base contribution at ~1/1.9 — secondary-structure
+    # COUNT grows ~1.86^n, so centering the combined growth keeps both
+    # Qtot and single-structure weights inside double range to ~1k nt
+    # (beyond that the weakest configurations underflow gracefully to
+    # probability 0; Qtot itself is guarded below).
+    scale = max(1.0, 1.35 * max(PAIR_WEIGHTS.values()) ** 0.25)
     w = _weight_matrix(seq, scale)
     inv = 1.0 / scale
 
-    # inside: Q[i,j] over 0-based i..j inclusive; empty interval = 1
-    Q = np.ones((n + 2, n + 2))   # Q[i, j+1] layout: Q_[i][j] = Q(i..j-1)
+    # inside, one masked mat-vec per column.  Q[i, j] = partition weight
+    # of the 0-based half-open interval [i, j); initialized to 1 so
+    # empty/inverted intervals read as 1 without branching.  Qm is the
+    # strictly-masked copy (Qm[i, k] = Q[i, k] for k >= i, else 0) that
+    # makes "sum over k in [i, jj]" a plain mat-vec.
+    Q = np.ones((n + 2, n + 2))
+    Qm = np.triu(np.ones((n + 2, n + 2)))
     Qb = np.zeros((n, n))
+    for jj in range(n):           # jj = last index of the interval
+        # Qb column: pairs (i, jj); inner content is Q[i+1, jj]
+        col_w = w[:jj + 1, jj]
+        live = col_w > 0.0
+        if live.any():
+            Qb[:jj + 1, jj] = col_w * np.where(live, Q[1:jj + 2, jj], 0.0)
+        # Q column jj+1: last base unpaired, or paired with some k>=i
+        contrib = Qm[: jj + 1, : jj + 1] @ Qb[: jj + 1, jj]
+        Q[: jj + 1, jj + 1] = Q[: jj + 1, jj] * inv + contrib
+        Qm[: jj + 2, jj + 1] = Q[: jj + 2, jj + 1]
 
-    def q(i, j):
-        """Q over 0-based half-open [i, j); 1 when empty."""
-        if j <= i:
-            return 1.0
-        return Q[i, j]
-
-    for span in range(1, n + 1):
-        for i in range(0, n - span + 1):
-            j = i + span  # half-open end
-            jj = j - 1    # last index
-            # Qb for pair (i, jj)
-            if w[i, jj] > 0.0:
-                Qb[i, jj] = w[i, jj] * q(i + 1, jj)
-            # Q: last base unpaired, or pairs with some k
-            acc = q(i, jj) * inv
-            row = Qb[i:jj + 1, jj]
-            if row.any():
-                ks = np.nonzero(row)[0]
-                for k0 in ks:
-                    acc += q(i, i + k0) * row[k0]
-            Q[i, j] = acc
-
-    Qtot = q(0, n)
+    Qtot = Q[0, n] if n > 0 else 1.0
     if Qtot <= 0.0 or not np.isfinite(Qtot):
         # no structure possible — everything unpaired
         sbpp = np.zeros((n + 1, n + 1))
@@ -97,23 +103,51 @@ def partition_bpp(seq: str) -> np.ndarray:
         sbpp[0, 0] = 0.0
         return sbpp
 
-    # outside: process spans longest-first so enclosers are ready
+    # outside, longest spans first, exact O(n^3).  Qout[i, j] = weight
+    # of everything outside the pair (i, j):
+    #   Qout[i, j] = q(0, i-1) * q(j+1, n-1)                 [no encloser]
+    #     + sum_{k<i, l>j} w[k, l] * Qout[k, l] * q(k+1, i-1) * q(j+1, l-1)
+    # (the innermost-encloser decomposition; P = Qb * Qout / Qtot).
+    # The l-sum is maintained incrementally: after a span's diagonal of
+    # Qout is final, its pairs' contributions fold into
+    #   G[k, j] = sum_{l>j} w[k, l] * Qout[k, l] * q(j+1, l-1)
+    # (one rank-style O(n^2) update per span), and the next diagonals
+    # read sum_{k<i} q(k+1, i-1) * G[k, j] as one O(n^2) contraction —
+    # no probability cutoff, bit-for-bit the full sum.
     P = np.zeros((n, n))
-    spans = sorted(
-        [(i, j) for i in range(n) for j in range(i + MIN_HAIRPIN + 1, n)
-         if Qb[i, j] > 0.0],
-        key=lambda ij: ij[0] - ij[1],
-    )
-    enclosers: list = []
-    for i, j in spans:
-        ext = q(0, i) * q(j + 1, n) / Qtot
-        tot = ext
-        for (k, l, pkl_over_qint) in enclosers:
-            if k < i and j < l:
-                tot += pkl_over_qint * q(k + 1, i) * q(j + 1, l)
-        P[i, j] = Qb[i, j] * tot
-        if P[i, j] > _PROB_CUTOFF:
-            enclosers.append((i, j, P[i, j] / max(q(i + 1, j), 1e-300)))
+    G = np.zeros((n, n))
+    q0 = Q[0, :]                       # q(0, i-1) = weight left of i
+    qn = Q[:, n]                       # q(j+1, n-1) = weight right of j
+    # L[k, i] = q(k+1, i-1) for k < i (empty flank == 1), else 0
+    L = Qm[1:n + 1, :n]
+    for span in range(n - 1, MIN_HAIRPIN, -1):
+        nd = n - span                  # diagonal length
+        i_all = np.arange(nd)
+        jj_all = i_all + span
+        qout = q0[i_all] * qn[jj_all + 1]
+        if span < n - 1:
+            # sum_{k < i} L[k, i] * G[k, i + span]
+            qout = qout + np.einsum(
+                "ki,ki->i", L[:, :nd], G[:, span:span + nd]
+            )
+        wdiag = w[i_all, jj_all]
+        live = wdiag > 0.0
+        if live.any():
+            P[i_all[live], jj_all[live]] = (
+                Qb[i_all[live], jj_all[live]] * qout[live] / Qtot
+            )
+            # fold this span's pairs into G: for pair (k, k+span),
+            # G[k, j] += w * Qout * q(j+1, k+span-1)   for j < k+span
+            val = np.where(live, wdiag * qout, 0.0)
+            # Qm[j+1, k+span] = q(j+1, k+span-1) for j+1 <= k+span
+            G[:nd, :] += val[:, None] * Qm[1:n + 1, i_all + span].T
+
+    if not np.isfinite(P).all():
+        raise ValueError(
+            f"partition function over/underflowed for this {n}-nt "
+            "sequence — beyond the built-in fallback's practical length "
+            "range (~1k nt); install ViennaRNA for long RNAs"
+        )
 
     # 1-based symmetric sbpp with unpaired probability on the diagonal
     sbpp = np.zeros((n + 1, n + 1))

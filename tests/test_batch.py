@@ -228,6 +228,19 @@ def test_prepared_batch_matches_score_batch(pairs):
     # and score_batch accepts the prepared object directly
     assert (pbatch.score_batch(prep, S, (beta, gamma, delta),
                                affine=True) == want).all()
+    # conflicting engine / bucket_quantum must fail loudly, like the
+    # stale-parameter policy (a PreparedBatch always runs Pallas and
+    # bakes in its bucketing)
+    with pytest.raises(ValueError, match="engine"):
+        pbatch.score_batch(prep, S, (beta, gamma, delta), affine=True,
+                           engine="xla")
+    with pytest.raises(ValueError, match="bucket_quantum"):
+        pbatch.score_batch(prep, S, (beta, gamma, delta), affine=True,
+                           bucket_quantum=16)
+    # matching explicit values are a cache hit, not a conflict
+    assert (pbatch.score_batch(prep, S, (beta, gamma, delta),
+                               affine=True, engine="pallas",
+                               bucket_quantum=8) == want).all()
 
 
 def test_prepared_batch_sharded(pairs):

@@ -44,6 +44,25 @@ def test_no_pairs_possible():
     assert structure == "...."
 
 
+def test_300nt_preprocesses_fast():
+    """The vectorized inside/outside must handle corpus-scale RNAs:
+    300 nt in well under a second (the round-4 review set <1 s as the
+    bar; the pure-Python loops took ~10 s here)."""
+    import random
+    import time
+
+    rng = random.Random(11)
+    seq = "".join(rng.choice("ACGU") for _ in range(300))
+    t0 = time.perf_counter()
+    sbpp = partition_bpp(seq)
+    dt = time.perf_counter() - t0
+    inner = sbpp[1:, 1:]
+    assert np.allclose(inner, inner.T)
+    assert np.allclose(inner.sum(1), 1.0, atol=1e-6)
+    assert (inner >= -1e-9).all()
+    assert dt < 1.0, f"300-nt partition function took {dt:.2f}s"
+
+
 def test_rna_without_structure_end_to_end():
     """BiAligner on RNA with NO structures: works standalone (the
     reference requires ViennaRNA here)."""
