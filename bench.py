@@ -312,6 +312,122 @@ def _batched_alignments_fn(on_tpu, B=64, chunk=64):
     return measure
 
 
+def _mixed_corpus(n_pairs, lo=32, hi=60, frac_mid=0.15, seed=3):
+    """PairRecords from random windows of the DNA-Pol CFSSP pair:
+    mostly toy-sized (lo..hi aa) with a ``frac_mid`` tail of ~2x-longer
+    windows, so the stream exercises mixed lengths across two buckets
+    (BASELINE configs 4-5: "mixed lengths", "100k pairs streamed" —
+    scaled to bench time)."""
+    import random
+
+    from bialign_tpu.data import example_path
+    from bialign_tpu.io.cfssp import read_molecule_from_file
+    from bialign_tpu.parallel.driver import PairRecord
+
+    seqA, strA = read_molecule_from_file(
+        example_path("DNAPolymerase1_Escherichia.cfssp"), "Protein"
+    )
+    seqB, strB = read_molecule_from_file(
+        example_path("DNAPolymerase1_Xanthomonas.cfssp"), "Protein"
+    )
+    rng = random.Random(seed)
+    out = []
+    for k in range(n_pairs):
+        if rng.random() < frac_mid:
+            la = rng.randint(2 * lo + 32, 2 * hi + 32)
+        else:
+            la = rng.randint(lo, hi)
+        lb = la + rng.randint(-4, 4)
+        a0 = rng.randint(0, len(seqA) - la)
+        b0 = rng.randint(0, len(seqB) - lb)
+        out.append(PairRecord(
+            id=f"p{k}", seqA=seqA[a0:a0 + la], seqB=seqB[b0:b0 + lb],
+            strA=strA[a0:a0 + la], strB=strB[b0:b0 + lb],
+        ))
+    return out
+
+
+def _streaming_fn(n_pairs, alignments):
+    """Sustained StreamingAligner corpus throughput (spool ON): fresh
+    pairs every chunk — per-record preprocessing + table build + bucket
+    pack + H2D + kernels, double-buffered.  Returns (measure, info);
+    ``info`` is filled with occupancy stats from the last run."""
+    import os
+    import tempfile
+
+    from bialign_tpu.parallel.driver import StreamingAligner
+
+    from bialign_tpu.utils.profiling import band_cells
+
+    records = _mixed_corpus(n_pairs)
+    params = dict(PARAMS, max_shift=1)
+    info = {"genuine_cells": sum(
+        band_cells(len(r.seqA), len(r.seqB), 1) for r in records
+    )}
+
+    def measure():
+        fd, spool = tempfile.mkstemp(suffix=".jsonl")
+        os.close(fd)
+        os.unlink(spool)
+        try:
+            sa = StreamingAligner(params, spool_path=spool,
+                                  chunk_pairs=512,
+                                  alignments=alignments)
+            t0 = time.perf_counter()
+            n = sum(1 for _ in sa.run(iter(records)))
+            dt = time.perf_counter() - t0
+            assert n == n_pairs, (n, n_pairs)
+            info["pairs_per_dispatch"] = round(
+                sa.stats.pairs_per_dispatch, 1)
+            info["dispatches"] = sa.stats.dispatches
+            return n / dt
+        finally:
+            if os.path.exists(spool):
+                os.unlink(spool)
+
+    return measure, info
+
+
+def _realistic_batched_fn(B=64, lo=128, hi=512, seed=5):
+    """Batched scoring at reference-Examples scale (BASELINE config 4:
+    mixed 128-512-residue pairs, cf. the 928-aa Examples): B windows of
+    the DNA-Pol pair through score_batch, mixed lengths across buckets.
+    Returns (measure, info); info carries the aggregate genuine-cell
+    count so main() can report cells/s next to the single-pair rate."""
+    import random
+
+    from bialign_tpu.models.molecule import preprocess_molecule
+    from bialign_tpu.parallel import batch as pbatch
+    from bialign_tpu.scoring.tables import build_score_tables
+    from bialign_tpu.utils.profiling import band_cells
+
+    recs = _mixed_corpus(B, lo=lo, hi=hi - 4, frac_mid=0.0, seed=seed)
+    params = dict(PARAMS, max_shift=1)
+    tables = []
+    cells = 0
+    for r in recs:
+        molA = preprocess_molecule(r.seqA, r.strA, is_rna=False)
+        molB = preprocess_molecule(r.seqB, r.strB, is_rna=False)
+        mu1, mu2 = build_score_tables(molA, molB, params, is_rna=False)
+        tables.append((mu1, mu2))
+        cells += band_cells(len(r.seqA), len(r.seqB), 1)
+    ptuple = (PARAMS["gap_opening_cost"], PARAMS["gap_cost"],
+              PARAMS["shift_cost"])
+    info = {"genuine_cells": cells}
+    scores = pbatch.score_batch(tables, 1, ptuple, affine=True)
+    assert (scores > 0).all()
+
+    def measure():
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            pbatch.score_batch(tables, 1, ptuple, affine=True)
+            best = min(best, time.perf_counter() - t0)
+        return B / best
+
+    return measure, info
+
+
 def _e2e_fn(raw, on_tpu, *, lowmem=False, engine=None):
     """Closure measuring the full user path: fill + traceback + decode.
 
@@ -425,6 +541,41 @@ def main():
                                                    chunk=512))
         add("toy_protein_batched_alignments_per_s_b512", v4e,
             "alignments/s", v4e / ref_pair_rate, sp4e)
+
+    # 4f. sustained streaming-corpus throughput (BASELINE configs 4-5):
+    # fresh mixed-length pairs every chunk through StreamingAligner,
+    # spool ON — preprocessing + tables + pack + H2D + kernels, with
+    # host packing double-buffered against device compute.  Baseline =
+    # the reference's ms1 cells/s applied to this corpus's cell count.
+    n_stream = 10000 if on_tpu else 600
+    mfn, minfo = _streaming_fn(n_stream, alignments=False)
+    v4f, sp4f = _spread(mfn)
+    ref_stream = n_stream / (minfo["genuine_cells"] / 12.46e3)
+    add("streamed_pairs_per_s", v4f, "pairs/s", v4f / ref_stream, sp4f,
+        corpus_pairs=n_stream,
+        pairs_per_dispatch=minfo["pairs_per_dispatch"])
+
+    # 4g. same corpus with alignments=True (fused batched fill + device
+    # walk + spooled trace codes): the streamed-alignments north star
+    n_astream = 4096 if on_tpu else 192
+    afn, ainfo = _streaming_fn(n_astream, alignments=True)
+    v4g, sp4g = _spread(afn)
+    ref_astream = n_astream / (ainfo["genuine_cells"] / 12.46e3)
+    add("streamed_alignments_per_s", v4g, "alignments/s",
+        v4g / ref_astream, sp4g, corpus_pairs=n_astream,
+        pairs_per_dispatch=ainfo["pairs_per_dispatch"])
+
+    # 4h. batched scoring at reference-Examples scale (BASELINE config
+    # 4): 64 mixed 128-512-residue pairs; aggregate genuine cells/s is
+    # comparable to the single-pair headline rate
+    rfn, rinfo = _realistic_batched_fn()
+    v4h, sp4h = _spread(rfn)
+    rcells = rinfo["genuine_cells"]
+    ref_rb = 64 / (rcells / 12.46e3)
+    add("realistic_batched_pairs_per_s", v4h, "pairs/s", v4h / ref_rb,
+        sp4h,
+        genuine_cells_per_s=_sig(v4h / 64 * rcells),
+        mean_pair_residues=int((rcells / 9 / 64) ** 0.5))
 
     # 5. end-to-end fill + traceback + decode (reference: 626.7 s fill
     # alone; its traceback/decode add seconds at most)

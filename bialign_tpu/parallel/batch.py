@@ -240,49 +240,67 @@ def _pallas_scores_sharded(mu1p, mu2p, ns, ms, D, max_shift, params, mesh,
     return np.asarray(jax.device_get(fn(*args)))
 
 
-def score_batch(tables, max_shift: int, params, *, affine: bool,
-                mesh: Mesh | None = None, bucket_quantum: int | None = None,
-                engine: str = "auto"):
-    """Score a batch of pairs; returns int scores in input order.
+class PendingScores:
+    """Dispatched-but-unharvested batched scores.
 
-    ``params``: (beta, gamma, delta) for affine, (gamma, delta) otherwise.
-    With ``mesh``, every bucket's batch axis is sharded over mesh axis
-    "data" (pad the batch to a multiple of the axis size).
-
-    ``engine``: "auto" (Pallas batched kernel on TPU, vmapped XLA scan
-    otherwise), "pallas", or "xla".
-
-    ``tables`` may also be a :class:`PreparedBatch` (device-resident
-    buckets built once): scoring then skips the bucket rebuild and the
-    host->device transfer entirely (steady-state serving path).
+    JAX dispatch is asynchronous: the kernels are already running (or
+    queued) on the device when this object is returned, so the caller
+    can overlap host work — preprocessing and packing the NEXT chunk —
+    with device compute.  :meth:`get` blocks on the transfers and
+    assembles the scores in input order (the streaming driver's
+    double-buffering rides on this).
     """
-    import jax.numpy as jnp
 
-    if isinstance(tables, PreparedBatch):
-        tables.check_compatible(max_shift, params, affine, mesh,
-                                engine=engine,
-                                bucket_quantum=bucket_quantum)
-        return tables.scores()
+    def __init__(self, n_pairs: int, parts):
+        self._n = n_pairs
+        self._parts = parts          # [(indices, device_scores)]
 
-    if bucket_quantum is None:
-        bucket_quantum = 64
+    @property
+    def n_dispatches(self) -> int:
+        """Kernel dispatches issued (one per length bucket)."""
+        return len(self._parts)
+
+    def get(self) -> np.ndarray:
+        out = np.zeros(self._n, dtype=np.int64)
+        for indices, dev in self._parts:
+            scores = np.asarray(jax.device_get(dev))
+            for pos, idx in enumerate(indices):
+                out[idx] = scores[pos]
+        return out
+
+
+def dispatch_score_batch(tables, max_shift: int, params, *, affine: bool,
+                         mesh: Mesh | None = None,
+                         bucket_quantum: int = 64,
+                         engine: str = "auto") -> PendingScores:
+    """Pack and LAUNCH every bucket's score kernel without blocking.
+
+    Same arguments/semantics as :func:`score_batch`; returns a
+    :class:`PendingScores` instead of the assembled array.
+    """
     tables = list(tables)
     _require_int32_safe(tables, params, affine)
     use_pallas = (
         engine == "pallas"
         or (engine == "auto" and _on_tpu())
     )
+    parts = []
     if use_pallas:
         from ..ops import pallas_dp
 
         buckets = make_buckets_dense(tables, bucket_quantum)
-        out = np.zeros(len(tables), dtype=np.int64)
         for (N, M), b in buckets.items():
             B = len(b.indices)
-            Bp = B
             if mesh is not None:
                 ds = mesh.shape["data"]
                 Bp = ((B + ds - 1) // ds) * ds
+            else:
+                # round the batch up to a PACK multiple so small
+                # buckets stay eligible for the sublane-packed kernel
+                # (a 435-pair bucket falling to the SUB=1 kernel wastes
+                # 7/8 of every vreg) and compile keys quantize
+                Bp = ((B + pallas_dp.PACK - 1)
+                      // pallas_dp.PACK) * pallas_dp.PACK
             pad = Bp - B
             D = N + M + 1
             # narrow the STACKED arrays (not per table) so a bucket always
@@ -295,26 +313,25 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
             ns = np.asarray(b.n + [b.n[-1]] * pad, dtype=np.int32)
             ms = np.asarray(b.m + [b.m[-1]] * pad, dtype=np.int32)
             if mesh is not None:
-                scores = _pallas_scores_sharded(
-                    mu1p, mu2p, ns, ms, D, max_shift, params, mesh, affine
-                )
+                fn = _sharded_scores_fn(D, max_shift, tuple(params), mesh,
+                                        affine)
+                args = [
+                    _device_put_sharded(jnp.asarray(x), mesh)
+                    for x in (mu1p, mu2p, ns, ms)
+                ]
+                dev = fn(*args)
             else:
                 kern = (pallas_dp._affine_pallas_batched_dense if affine
                         else pallas_dp._nonaffine_pallas_batched_dense)
-                scores = np.asarray(jax.device_get(
-                    kern(
-                        jnp.asarray(mu1p), jnp.asarray(mu2p),
-                        jnp.asarray(ns), jnp.asarray(ms),
-                        D, max_shift, tuple(params),
-                    )
-                ))
-            for pos, idx in enumerate(b.indices):
-                out[idx] = scores[pos]
-        return out
+                dev = kern(
+                    jnp.asarray(mu1p), jnp.asarray(mu2p),
+                    jnp.asarray(ns), jnp.asarray(ms),
+                    D, max_shift, tuple(params),
+                )
+            parts.append((b.indices, dev))
+        return PendingScores(len(tables), parts)
 
     buckets = make_buckets(tables, max_shift, bucket_quantum)
-    out = np.zeros(len(tables), dtype=np.int64)
-
     for (N, M), b in buckets.items():
         B = len(b.indices)
         Bp = B
@@ -333,10 +350,39 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
             for x in (mu1d, mu2d, n, m)
         ]
         fn = _batched_affine if affine else _batched_nonaffine
-        scores = np.asarray(fn(*args, max_shift, tuple(params), (N, M)))
-        for pos, idx in enumerate(b.indices):
-            out[idx] = scores[pos]
-    return out
+        parts.append((b.indices, fn(*args, max_shift, tuple(params),
+                                    (N, M))))
+    return PendingScores(len(tables), parts)
+
+
+def score_batch(tables, max_shift: int, params, *, affine: bool,
+                mesh: Mesh | None = None, bucket_quantum: int | None = None,
+                engine: str = "auto"):
+    """Score a batch of pairs; returns int scores in input order.
+
+    ``params``: (beta, gamma, delta) for affine, (gamma, delta) otherwise.
+    With ``mesh``, every bucket's batch axis is sharded over mesh axis
+    "data" (pad the batch to a multiple of the axis size).
+
+    ``engine``: "auto" (Pallas batched kernel on TPU, vmapped XLA scan
+    otherwise), "pallas", or "xla".
+
+    ``tables`` may also be a :class:`PreparedBatch` (device-resident
+    buckets built once): scoring then skips the bucket rebuild and the
+    host->device transfer entirely (steady-state serving path).
+    """
+    if isinstance(tables, PreparedBatch):
+        tables.check_compatible(max_shift, params, affine, mesh,
+                                engine=engine,
+                                bucket_quantum=bucket_quantum)
+        return tables.scores()
+
+    if bucket_quantum is None:
+        bucket_quantum = 64
+    return dispatch_score_batch(
+        tables, max_shift, params, affine=affine, mesh=mesh,
+        bucket_quantum=bucket_quantum, engine=engine,
+    ).get()
 
 
 # -- batched alignments (corpus-scale traceback) ------------------------------
@@ -393,24 +439,14 @@ def _fill_walk_nonaffine(mu1p, mu2p, ns, ms, D, max_shift, params, _shape):
     return codes, steps, scores
 
 
-def _align_sharded(mu1p, mu2p, ns, ms, D, max_shift, params, mesh,
-                   affine):
-    """shard_map of the fused fill+walk over the "data" mesh axis: each
-    device fills and walks its local slice of the bucket's batch axis
-    (per-pair DP and traceback are chip-local; only the tiny code/score
-    gather crosses chips via the output sharding)."""
-    fn = _sharded_align_fn(D, max_shift, tuple(params), mesh, affine)
-    args = [
-        _device_put_sharded(jnp.asarray(x), mesh)
-        for x in (mu1p, mu2p, ns, ms)
-    ]
-    return jax.device_get(fn(*args))
-
-
 @functools.lru_cache(maxsize=None)
 def _sharded_align_fn(D, max_shift, params, mesh, affine):
-    """Cached jitted shard_map of the fused fill+walk (see
-    :func:`_sharded_scores_fn` for why it must not rebuild per chunk)."""
+    """Cached jitted shard_map of the fused fill+walk over the "data"
+    mesh axis: each device fills and walks its local slice of the
+    chunk's batch axis (per-pair DP and traceback are chip-local; only
+    the tiny code/score gather crosses chips via the output sharding).
+    Cached per geometry — see :func:`_sharded_scores_fn` for why it
+    must not rebuild per chunk."""
     inner = _fill_walk_affine if affine else _fill_walk_nonaffine
 
     def shard_fn(m1, m2, nn, mm):
@@ -423,6 +459,89 @@ def _sharded_align_fn(D, max_shift, params, mesh, affine):
         out_specs=P("data"),
         check_vma=False,
     ))
+
+
+class PendingAlignments:
+    """Dispatched-but-unharvested fused fill+walk chunks (the alignments
+    twin of :class:`PendingScores`); :meth:`get` blocks, decodes the
+    walk codes on host and assembles (scores, traces, complete)."""
+
+    def __init__(self, n_pairs: int, parts):
+        self._n = n_pairs
+        self._parts = parts          # [(indices, affine, device_tuple)]
+
+    @property
+    def n_dispatches(self) -> int:
+        """Fused fill+walk dispatches issued (one per bucket-chunk)."""
+        return len(self._parts)
+
+    def get(self):
+        from ..ops.device_traceback import decode_walk_codes
+
+        scores = np.zeros(self._n, dtype=np.int64)
+        traces: list = [None] * self._n
+        complete = [True] * self._n
+        for idxs, affine, dev in self._parts:
+            if affine:
+                codes, steps, done, scs = jax.device_get(dev)
+            else:
+                codes, steps, scs = jax.device_get(dev)
+                done = None
+            for pos, idx in enumerate(idxs):
+                traces[idx] = decode_walk_codes(codes[pos],
+                                                int(steps[pos]))
+                scores[idx] = int(scs[pos])
+                if done is not None:
+                    complete[idx] = int(done[pos]) == 1
+        return scores, traces, complete
+
+
+def dispatch_align_batch(tables, max_shift: int, params, *, affine: bool,
+                         mesh: Mesh | None = None, bucket_quantum: int = 64,
+                         chunk: int = 64) -> PendingAlignments:
+    """Pack and LAUNCH every bucket-chunk's fused fill+walk without
+    blocking (same arguments as :func:`align_batch`); chunks queue on
+    the device in dispatch order, so peak band memory stays one chunk's
+    worth while the caller overlaps host packing of the next batch."""
+    from ..ops.pallas_dp import _narrow_if_fits
+
+    tables = list(tables)
+    _require_int32_safe(tables, params, affine)
+    buckets = make_buckets_dense(tables, bucket_quantum)
+    parts = []
+    for (N, M), b in buckets.items():
+        D = N + M + 1
+        for lo in range(0, len(b.indices), chunk):
+            idxs = b.indices[lo:lo + chunk]
+            B = len(idxs)
+            Bp = B
+            if mesh is not None:
+                ds = mesh.shape["data"]
+                Bp = ((B + ds - 1) // ds) * ds
+            pad = Bp - B
+            sl = slice(lo, lo + chunk)
+            mu1p = _narrow_if_fits(stack_padded(b.mu1d[sl], N, M, pad))
+            mu2p = _narrow_if_fits(stack_padded(b.mu2d[sl], N, M, pad))
+            ns = np.asarray(b.n[sl] + [b.n[sl][-1]] * pad,
+                            dtype=np.int32)
+            ms = np.asarray(b.m[sl] + [b.m[sl][-1]] * pad,
+                            dtype=np.int32)
+            if mesh is not None:
+                fn = _sharded_align_fn(D, max_shift, tuple(params), mesh,
+                                       affine)
+                args = [
+                    _device_put_sharded(jnp.asarray(x), mesh)
+                    for x in (mu1p, mu2p, ns, ms)
+                ]
+                dev = fn(*args)
+            else:
+                args = (jnp.asarray(mu1p), jnp.asarray(mu2p),
+                        jnp.asarray(ns), jnp.asarray(ms),
+                        D, max_shift, tuple(params), (N, M))
+                dev = (_fill_walk_affine(*args) if affine
+                       else _fill_walk_nonaffine(*args))
+            parts.append((idxs, affine, dev))
+    return PendingAlignments(len(tables), parts)
 
 
 def align_batch(tables, max_shift: int, params, *, affine: bool,
@@ -447,58 +566,10 @@ def align_batch(tables, max_shift: int, params, *, affine: bool,
     walks run chip-local, scaling the BASELINE.md pair-alignments/s
     north star to N chips/hosts.
     """
-    from ..ops.device_traceback import decode_walk_codes
-    from ..ops.pallas_dp import _narrow_if_fits
-
-    tables = list(tables)
-    _require_int32_safe(tables, params, affine)
-    buckets = make_buckets_dense(tables, bucket_quantum)
-    scores = np.zeros(len(tables), dtype=np.int64)
-    traces: list = [None] * len(tables)
-    complete = [True] * len(tables)
-    for (N, M), b in buckets.items():
-        D = N + M + 1
-        for lo in range(0, len(b.indices), chunk):
-            idxs = b.indices[lo:lo + chunk]
-            B = len(idxs)
-            Bp = B
-            if mesh is not None:
-                ds = mesh.shape["data"]
-                Bp = ((B + ds - 1) // ds) * ds
-            pad = Bp - B
-            sl = slice(lo, lo + chunk)
-            mu1p = _narrow_if_fits(stack_padded(b.mu1d[sl], N, M, pad))
-            mu2p = _narrow_if_fits(stack_padded(b.mu2d[sl], N, M, pad))
-            ns = np.asarray(b.n[sl] + [b.n[sl][-1]] * pad,
-                            dtype=np.int32)
-            ms = np.asarray(b.m[sl] + [b.m[sl][-1]] * pad,
-                            dtype=np.int32)
-            if mesh is not None:
-                out = _align_sharded(mu1p, mu2p, ns, ms, D, max_shift,
-                                     params, mesh, affine)
-                if affine:
-                    codes, steps, done, scs = out
-                else:
-                    codes, steps, scs = out
-                    done = None
-            else:
-                args = (jnp.asarray(mu1p), jnp.asarray(mu2p),
-                        jnp.asarray(ns), jnp.asarray(ms),
-                        D, max_shift, tuple(params), (N, M))
-                if affine:
-                    codes, steps, done, scs = jax.device_get(
-                        _fill_walk_affine(*args))
-                else:
-                    codes, steps, scs = jax.device_get(
-                        _fill_walk_nonaffine(*args))
-                    done = None
-            for pos, idx in enumerate(idxs):
-                traces[idx] = decode_walk_codes(codes[pos],
-                                                int(steps[pos]))
-                scores[idx] = int(scs[pos])
-                if done is not None:
-                    complete[idx] = int(done[pos]) == 1
-    return scores, traces, complete
+    return dispatch_align_batch(
+        tables, max_shift, params, affine=affine, mesh=mesh,
+        bucket_quantum=bucket_quantum, chunk=chunk,
+    ).get()
 
 
 # -- prepared (cached) device buckets -----------------------------------------
@@ -530,10 +601,15 @@ class PreparedBatch:
         self._buckets = []
         for (N, M), b in make_buckets_dense(tables, bucket_quantum).items():
             B = len(b.indices)
-            Bp = B
             if mesh is not None:
                 ds = mesh.shape["data"]
                 Bp = ((B + ds - 1) // ds) * ds
+            else:
+                # PACK-multiple pad: keep the sublane-packed kernel
+                # eligible (see dispatch_score_batch)
+                from ..ops.pallas_dp import PACK
+
+                Bp = ((B + PACK - 1) // PACK) * PACK
             pad = Bp - B
             mu1p = _narrow_if_fits(stack_padded(b.mu1d, N, M, pad))
             mu2p = _narrow_if_fits(stack_padded(b.mu2d, N, M, pad))

@@ -22,6 +22,9 @@ integers are bit-identical to CPython's.
 
 from __future__ import annotations
 
+import functools
+import os
+
 import numpy as np
 
 
@@ -110,21 +113,67 @@ def structure_similarity_table_rna(
     return out
 
 
-def build_score_tables(molA: dict, molB: dict, params: dict, *, is_rna: bool):
-    """Build (mu1, mu2) int32 tables from molecules + reference-style params."""
+@functools.lru_cache(maxsize=16)
+def _sim_lut_cached(name: str, scale: int, stat_key):
+    """(lut[256, 256] int32, valid[256, 256] bool) for a named/parsed
+    similarity matrix.  Streaming corpora build score tables per pair;
+    re-parsing the matrix text and rebuilding a lookup per pair was
+    ~50%% of the fresh-batch host cost (round-4 review), so the parse +
+    LUT happen once per (matrix, scale, file version)."""
     from ..io.simmatrix import read_simmatrix
 
-    simmatrix = None
-    if params.get("simmatrix"):
-        simmatrix = read_simmatrix(params["simmatrix"])
+    sm = read_simmatrix(name, scale=scale)
+    lut = np.zeros((256, 256), dtype=np.int32)
+    valid = np.zeros((256, 256), dtype=bool)
+    for x, row in sm.items():
+        ox = ord(x)
+        for y, v in row.items():
+            lut[ox, ord(y)] = v
+            valid[ox, ord(y)] = True
+    return lut, valid
 
-    mu1 = sequence_similarity_table(
-        molA["seq"],
-        molB["seq"],
-        simmatrix=simmatrix,
-        match=params.get("sequence_match_similarity", 100),
-        mismatch=params.get("sequence_mismatch_similarity", 0),
-    )
+
+def _sim_lut(name: str, scale: int = 100):
+    stat_key = None
+    if name != "BLOSUM62" and os.path.exists(name):
+        st = os.stat(name)
+        stat_key = (st.st_mtime_ns, st.st_size)
+    return _sim_lut_cached(name, scale, stat_key)
+
+
+def _sequence_similarity_from_lut(seqA: str, seqB: str, lut, valid):
+    """mu1 via the cached 256x256 LUT; missing residues raise KeyError
+    exactly like the reference's ``simmatrix[x][y]`` dict access
+    (pyx:404-412): the row char when the whole row is absent, the
+    column char otherwise."""
+    n, m = len(seqA), len(seqB)
+    out = np.zeros((n + 1, m + 1), dtype=np.int32)
+    if n == 0 or m == 0:
+        return out
+    ca = _char_codes(seqA)
+    cb = _char_codes(seqB)
+    ok = valid[ca[:, None], cb[None, :]]
+    if not ok.all():
+        i, j = np.argwhere(~ok)[0]
+        raise KeyError(seqA[i] if not valid[ca[i]].any() else seqB[j])
+    out[1:, 1:] = lut[ca[:, None], cb[None, :]]
+    return out
+
+
+def build_score_tables(molA: dict, molB: dict, params: dict, *, is_rna: bool):
+    """Build (mu1, mu2) int32 tables from molecules + reference-style params."""
+    if params.get("simmatrix"):
+        lut, valid = _sim_lut(params["simmatrix"])
+        mu1 = _sequence_similarity_from_lut(molA["seq"], molB["seq"],
+                                            lut, valid)
+    else:
+        mu1 = sequence_similarity_table(
+            molA["seq"],
+            molB["seq"],
+            simmatrix=None,
+            match=params.get("sequence_match_similarity", 100),
+            mismatch=params.get("sequence_mismatch_similarity", 0),
+        )
     if is_rna:
         mu2 = structure_similarity_table_rna(
             molA, molB, structure_weight=params.get("structure_weight", 400)

@@ -38,6 +38,7 @@ class RunStats:
     pairs: int = 0
     cells: int = 0
     batches: int = 0
+    dispatches: int = 0     # kernel dispatches (bucket splits) issued
     seconds: float = 0.0
     bucket_pairs: dict = field(default_factory=dict)  # (N, M) -> count
     _t0: float | None = None
@@ -52,10 +53,12 @@ class RunStats:
             self._t0 = None
         return self
 
-    def add_batch(self, bucket_key, n_pairs: int, n_cells: int):
+    def add_batch(self, bucket_key, n_pairs: int, n_cells: int,
+                  n_dispatches: int = 1):
         self.pairs += n_pairs
         self.cells += n_cells
         self.batches += 1
+        self.dispatches += n_dispatches
         key = str(bucket_key)
         self.bucket_pairs[key] = self.bucket_pairs.get(key, 0) + n_pairs
 
@@ -67,15 +70,23 @@ class RunStats:
     def cells_per_s(self) -> float:
         return self.cells / self.seconds if self.seconds else 0.0
 
+    @property
+    def pairs_per_dispatch(self) -> float:
+        """Bucket occupancy: mean pairs per kernel dispatch (bigger =
+        better dispatch amortization across the length buckets)."""
+        return self.pairs / self.dispatches if self.dispatches else 0.0
+
     def to_json(self) -> str:
         return json.dumps(
             {
                 "pairs": self.pairs,
                 "cells": self.cells,
                 "batches": self.batches,
+                "dispatches": self.dispatches,
                 "seconds": round(self.seconds, 4),
                 "pairs_per_s": round(self.pairs_per_s, 2),
                 "cells_per_s": round(self.cells_per_s, 1),
+                "pairs_per_dispatch": round(self.pairs_per_dispatch, 2),
                 "bucket_pairs": self.bucket_pairs,
             }
         )
