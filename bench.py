@@ -20,6 +20,15 @@ XLA scan elsewhere):
    decode to the default alignment lines (the BASELINE.md
    "pair-alignments/s" north star; bit-exactness is pinned by
    tests/test_batch.py)
+4f/4g. streamed_pairs_per_s / streamed_alignments_per_s — SUSTAINED
+   StreamingAligner corpus throughput (BASELINE configs 4-5): 10k/4k
+   fresh mixed-length DNA-Pol-window pairs, spool ON, per-record
+   preprocessing + tables + bucket pack + H2D + kernels, with host
+   packing double-buffered against device compute; rows carry bucket
+   occupancy (mean pairs per kernel dispatch)
+4h. realistic_batched_pairs_per_s — 64 mixed 128-512-residue pairs
+   (reference-Examples scale) through score_batch, with the aggregate
+   genuine 4D-cells/s next to the single-pair headline rate
 5. dnapol1_affine_ms1_e2e_s            — fill + traceback + decode
    (+ the lowmem twin: Pallas checkpointed band vs the XLA-scan
    checkpoint fill it replaced)
@@ -391,37 +400,43 @@ def _streaming_fn(n_pairs, alignments):
 def _realistic_batched_fn(B=64, lo=128, hi=512, seed=5):
     """Batched scoring at reference-Examples scale (BASELINE config 4:
     mixed 128-512-residue pairs, cf. the 928-aa Examples): B windows of
-    the DNA-Pol pair through score_batch, mixed lengths across buckets.
-    Returns (measure, info); info carries the aggregate genuine-cell
-    count so main() can report cells/s next to the single-pair rate."""
-    import random
+    the DNA-Pol pair, raw sequences -> scores through the codes serving
+    path (per-pair code vectors + device LUT table build + conveyor /
+    per-pair kernels — the transfer-light path the StreamingAligner
+    uses).  Returns (measure, info); info carries the aggregate
+    genuine-cell count so main() can report cells/s next to the
+    single-pair rate."""
+    import jax
 
-    from bialign_tpu.models.molecule import preprocess_molecule
     from bialign_tpu.parallel import batch as pbatch
-    from bialign_tpu.scoring.tables import build_score_tables
+    from bialign_tpu.scoring.tables import _sim_lut
     from bialign_tpu.utils.profiling import band_cells
 
     recs = _mixed_corpus(B, lo=lo, hi=hi - 4, frac_mid=0.0, seed=seed)
-    params = dict(PARAMS, max_shift=1)
-    tables = []
-    cells = 0
-    for r in recs:
-        molA = preprocess_molecule(r.seqA, r.strA, is_rna=False)
-        molB = preprocess_molecule(r.seqB, r.strB, is_rna=False)
-        mu1, mu2 = build_score_tables(molA, molB, params, is_rna=False)
-        tables.append((mu1, mu2))
-        cells += band_cells(len(r.seqA), len(r.seqB), 1)
+    cells = sum(band_cells(len(r.seqA), len(r.seqB), 1) for r in recs)
     ptuple = (PARAMS["gap_opening_cost"], PARAMS["gap_cost"],
               PARAMS["shift_cost"])
+    lut, _ = _sim_lut(PARAMS["simmatrix"])
+    lut_dev = jax.device_put(lut)
+    sw = PARAMS["structure_weight"]
     info = {"genuine_cells": cells}
-    scores = pbatch.score_batch(tables, 1, ptuple, affine=True)
+
+    def run_once():
+        pairs = [pbatch.encode_pair(r.seqA, r.seqB, r.strA, r.strB)
+                 for r in recs]
+        return pbatch.dispatch_score_batch_codes(
+            pairs, 1, ptuple, affine=True, lut=lut_dev,
+            structure_weight=sw,
+        ).get()
+
+    scores = run_once()
     assert (scores > 0).all()
 
     def measure():
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
-            pbatch.score_batch(tables, 1, ptuple, affine=True)
+            run_once()
             best = min(best, time.perf_counter() - t0)
         return B / best
 

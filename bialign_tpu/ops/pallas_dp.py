@@ -1265,6 +1265,29 @@ def _pallas_batched_packed(mu1d, mu2d, ns, ms, D, max_shift, params,
     return out.reshape(B, LANES)[jnp.arange(B), ns]
 
 
+def _route_batched(mu1p, mu2p, ns, ms, D, S, params, affine, score_only):
+    """Shared routing for the batched fills, from device-resident
+    [B, Ppad, Mp] int32 mu planes: sublane-packed kernel for LANES-row
+    buckets with PACK-multiple batches, the conveyor for score-only
+    fills of longer buckets (when its int32 drift cert holds), the
+    per-pair grid kernel otherwise."""
+    D_pad = _round_up(D, 16)
+    B, Ppad, Mp = mu1p.shape
+    T0 = _conveyor_T0(Mp - 1, S)
+    if (score_only and Ppad == LANES and B % PACK == 0):
+        build = functools.partial(_diag_tables_device, S=S, D_pad=D_pad)
+        mu1d, mu2d = jax.vmap(build)(mu1p, mu2p)
+        return _pallas_batched_packed(mu1d, mu2d, ns, ms, D_pad, S,
+                                      params, affine)
+    if _use_conveyor(score_only, B, Ppad, params, affine, T0):
+        return _pallas_batched_conveyor(mu1p, mu2p, ns, ms, T0, S,
+                                        params, affine)
+    build = functools.partial(_diag_tables_device, S=S, D_pad=D_pad)
+    mu1d, mu2d = jax.vmap(build)(mu1p, mu2p)
+    fn = _affine_pallas_batched if affine else _nonaffine_pallas_batched
+    return fn(mu1d, mu2d, ns, ms, S, params, score_only)
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def _affine_pallas_batched_dense(mu1p, mu2p, ns, ms, D, max_shift, params,
                                  score_only=True):
@@ -1272,27 +1295,18 @@ def _affine_pallas_batched_dense(mu1p, mu2p, ns, ms, D, max_shift, params,
 
     mu1p/mu2p: [B, N+1, M+1] int32 (bucket-exact, zero-padded); ns/ms:
     [B] true lengths; ``D`` = the bucket's diagonal count (N+M+1),
-    padded here to a chunkable multiple of 16 (diagonals past a pair's
+    padded to a chunkable multiple of 16 (diagonals past a pair's
     d_last compute garbage that is never read).
     Row-axis lane padding happens HERE on device (the transfer carries
     none), then diagonal tables are built on device (vmapped
-    :func:`_diag_tables_device`).  Small buckets (Ppad == LANES) with a
-    PACK-multiple batch use the sublane-packed kernel; others the
-    one-pair-per-step kernel.  ``score_only=False`` (alignments path)
+    :func:`_diag_tables_device`).  Kernel routing: see
+    :func:`_route_batched`.  ``score_only=False`` (alignments path)
     returns the full per-pair bands [B, D_pad, Q, W, W, Ppad] from the
     non-packed kernel.
     """
-    S = max_shift
-    D_pad = _round_up(D, 16)
     mu1p, mu2p = _lane_pad_rows(mu1p, mu2p)
-    build = functools.partial(_diag_tables_device, S=S, D_pad=D_pad)
-    mu1d, mu2d = jax.vmap(build)(mu1p, mu2p)
-    if (score_only and mu1p.shape[1] == LANES
-            and mu1d.shape[0] % PACK == 0):
-        return _pallas_batched_packed(mu1d, mu2d, ns, ms, D_pad, S, params,
-                                      True)
-    return _affine_pallas_batched(mu1d, mu2d, ns, ms, S, params,
-                                  score_only)
+    return _route_batched(mu1p, mu2p, ns, ms, D, max_shift, params,
+                          True, score_only)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
@@ -1423,17 +1437,9 @@ def _nonaffine_batched_kernel(G: int, S: int, params, SUB: int,
 def _nonaffine_pallas_batched_dense(mu1p, mu2p, ns, ms, D, max_shift,
                                     params, score_only=True):
     """Non-affine twin of :func:`_affine_pallas_batched_dense`."""
-    S = max_shift
-    D_pad = _round_up(D, 16)
     mu1p, mu2p = _lane_pad_rows(mu1p, mu2p)
-    build = functools.partial(_diag_tables_device, S=S, D_pad=D_pad)
-    mu1d, mu2d = jax.vmap(build)(mu1p, mu2p)
-    if (score_only and mu1p.shape[1] == LANES
-            and mu1d.shape[0] % PACK == 0):
-        return _pallas_batched_packed(mu1d, mu2d, ns, ms, D_pad, S, params,
-                                      False)
-    return _nonaffine_pallas_batched(mu1d, mu2d, ns, ms, S, params,
-                                     score_only)
+    return _route_batched(mu1p, mu2p, ns, ms, D, max_shift, params,
+                          False, score_only)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
@@ -1494,6 +1500,269 @@ def _nonaffine_pallas_batched(mu1d, mu2d, ns, ms, max_shift, params,
         return out[:, 0, 0]
     # folded band [B, D, W*W*SUB, LANES] (walked via p_last="folded")
     return out.reshape(B, D, W * W * SUB, LANES)
+
+
+# -- conveyor-packed batched score fill ---------------------------------------
+#
+# The per-pair batched kernels execute the full Ppad-row slab on all
+# D = N+M+1 diagonals of every pair, but only ~half those row-slots are
+# ever live: the wavefront's live window [d-m, min(n, d)] ramps up from
+# row 0 and drains at row n, so the triangular ends are computed and
+# discarded (the round-4 review's ~2.2x padding).  At Ppad <= 1024 the
+# row axis is a single (8, 128) vreg per (q, sk, sl) coordinate, so the
+# waste is intra-vreg and cannot be masked away per pair.
+#
+# The conveyor removes it ACROSS pairs: all pairs of a bucket stream
+# through ONE slab, pair b phase-offset by b*T0 global steps with
+# T0 = M + 2 (+slack).  At any step the slab rows partition into pair
+# stripes — row r belongs to pair k = (t - r) // T0, on its own
+# diagonal d = t - k*T0 — so while pair k's window drains toward row n,
+# pair k+1's is already ramping from row 0 underneath.  Sustained cost
+# is T0 ~ M+2 steps per pair instead of D ~ N+M+1: ~2x fewer executed
+# diagonals AND ~2x less mu2 HBM traffic for square pairs.
+#
+# Why the recurrence is unchanged: the slab update never used the
+# diagonal index except as data (j = d - i, the d == 0 origin
+# protection, and the guards), so the same _make_update runs with a
+# PER-ROW VECTOR d — jnp broadcasting does the rest.  Cross-stripe
+# contamination is impossible by the existing guards: a pair-k cell
+# (i, j) only reads predecessors (i or i-1, j or j-1) of its own pair
+# (rows advance at exactly the stripe drift rate), its j = 0 column
+# takes only b == 0 cases (the j4 >= b guard), and every pair's origin
+# sits at absolute row 0 where _shift_i's INVALID boundary applies.
+# Garbage cells (a stripe's j > m or i > n phase) drift by at most
+# max|case const| per step and never feed live cells (j- and
+# i-monotonicity, as in the per-pair kernels); _conveyor_safe_T bounds
+# the total drift against int32.
+#
+# Score capture: per-row planes DL[t, r] = n_k + m_k and NV[t, r] = n_k
+# (built by XLA gathers, like the spliced mu tables) mark each pair's
+# final cell; an [SUB, LANES] accumulator snapshots the center-shift
+# max-state value there and is dumped to HBM once per grid step — pair
+# b's score is read back at step (b*T0 + n_b + m_b) // G, row n_b
+# (overwrites happen >= T0 > G steps later).
+
+def _conveyor_T0(M: int, S: int) -> int:
+    """Phase offset between consecutive pairs: stripe ordering needs
+    pair k's live-window floor (d - m >= t - k*T0 - M) to stay above
+    pair k+1's ceiling (d' = t - (k+1)*T0), with 2 rows of slack for
+    the two-diagonals-back predecessor."""
+    return M + 2 + 2 * S
+
+
+def _conveyor_safe_T(params, affine: bool) -> int:
+    """Max conveyor length (global steps) certified against int32:
+    garbage stripes drift by <= max|case const| per step from the
+    -2^30 sentinel floor; cap total drift at 2^29."""
+    if affine:
+        tabs = AffineTables(*params)
+        cmax = max(
+            int(np.abs(np.asarray(tabs.a_const)).max()),
+            int(np.abs(np.asarray(tabs.b_const)).max()),
+            int(np.abs(np.asarray(tabs.c_const)).max()),
+        )
+    else:
+        cmax = int(np.abs(np.asarray(NonAffineTables(*params).const)).max())
+    return (1 << 29) // max(cmax, 1)
+
+
+def _conveyor_kernel(G: int, S: int, params, SUB: int, affine: bool):
+    """Grid (Tg,): each step advances G global conveyor steps; inputs
+    are the spliced per-step tables (mu1 [G, SUB, L], mu2 folded
+    [G, W*W*SUB, L]) and the dvec/dl/nv planes [G, SUB, L]."""
+    W = 2 * S + 1
+    Q = N_STATES
+    if affine:
+        update = _make_update(S, params, SUB)
+        slab_shape = (Q, W, W, SUB, LANES)
+    else:
+        update = _make_nonaffine_update(S, params, SUB)
+        slab_shape = (W, W, SUB, LANES)
+
+    def kernel(mu1_ref, mu2_ref, dv_ref, dl_ref, nv_ref, out_ref,
+               vm1_ref, vm2_ref, acc_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            vm1_ref[:] = jnp.full(slab_shape, INVALID, jnp.int32)
+            vm2_ref[:] = jnp.full(slab_shape, INVALID, jnp.int32)
+            acc_ref[:] = jnp.full((SUB, LANES), NEG_INF, jnp.int32)
+
+        def body(u, carry):
+            v1, v2 = carry
+            dvec = dv_ref[pl.ds(u, 1)][0]
+            mu2_blk = mu2_ref[pl.ds(u, 1)][0].reshape(W, W, SUB, LANES)
+            val = update(dvec, mu1_ref[pl.ds(u, 1)][0], mu2_blk, v1, v2)
+            cand = jnp.max(val[:, S, S], axis=0) if affine else val[S, S]
+            sub_i = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+            i2 = sub_i * LANES + lane_i
+            hit = (dvec == dl_ref[pl.ds(u, 1)][0]) \
+                & (i2 == nv_ref[pl.ds(u, 1)][0])
+            acc_ref[:] = jnp.where(hit, cand, acc_ref[:])
+            return val, v1
+
+        v1, v2 = jax.lax.fori_loop(0, G, body, (vm1_ref[:], vm2_ref[:]))
+        vm1_ref[:] = v1
+        vm2_ref[:] = v2
+        out_ref[0] = acc_ref[:]
+
+    return kernel
+
+
+def _conveyor_tables(mu1p, mu2p, ns, ms, S, T0, T_pad):
+    """Spliced per-global-step tables + planes (traced; XLA gathers).
+
+    mu1p/mu2p: [B, Ppad, Mp] dense int32; returns
+    (mu1s [T, Ppad], mu2s [T, W, W, Ppad], dvec, dl, nv [T, Ppad]).
+    Row r at step t serves pair k = clip((t - r) // T0) on its own
+    diagonal d = t - k*T0; out-of-range lattice reads are 0 (only ever
+    consumed by masked-out cases, as in _diag_tables_device).
+    """
+    B, Ppad, Mp = mu1p.shape
+    M = Mp - 1
+    W = 2 * S + 1
+    t_ = jnp.arange(T_pad, dtype=jnp.int32)[:, None]
+    r_ = jnp.arange(Ppad, dtype=jnp.int32)[None, :]
+    k = jnp.clip((t_ - r_) // T0, 0, B - 1)
+    d = t_ - k * T0
+    j_ = d - r_
+    ok = (j_ >= 0) & (j_ <= M)
+    r_b = jnp.broadcast_to(r_, (T_pad, Ppad))
+    mu1s = jnp.where(ok, mu1p[k, r_b, jnp.clip(j_, 0, M)], 0)
+
+    k4 = k[:, None, None, :]
+    kx = r_[None, None, None, :] + \
+        jnp.arange(W, dtype=jnp.int32)[None, :, None, None] - S
+    lx = j_[:, None, None, :] + \
+        jnp.arange(W, dtype=jnp.int32)[None, None, :, None] - S
+    kx_b, lx_b, k4_b = jnp.broadcast_arrays(kx, lx, k4)
+    ok2 = (kx_b >= 0) & (kx_b < Ppad) & (lx_b >= 0) & (lx_b <= M)
+    mu2s = jnp.where(
+        ok2,
+        mu2p[k4_b, jnp.clip(kx_b, 0, Ppad - 1), jnp.clip(lx_b, 0, M)],
+        0,
+    )
+    nm = (ns + ms).astype(jnp.int32)
+    dl = nm[k]
+    nv = ns.astype(jnp.int32)[k]
+    return (mu1s.astype(jnp.int32), mu2s.astype(jnp.int32),
+            d.astype(jnp.int32), dl, nv)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _pallas_batched_conveyor(mu1p, mu2p, ns, ms, T0, max_shift, params,
+                             affine):
+    """Conveyor fill for one bucket: mu1p/mu2p [B, Ppad, Mp] (row axis
+    already lane-padded, int32); returns [B] scores."""
+    S = max_shift
+    W = 2 * S + 1
+    B, Ppad, Mp = mu1p.shape
+    SUB = Ppad // LANES
+    interpret = not _on_tpu()
+    pick = _pick_chunk if affine else _pick_chunk_nonaffine
+    G = pick(S, Ppad, True, interpret)
+    T_total = (B - 1) * T0 + (Ppad - 1) + (Mp - 1) + 1
+    T_pad = _round_up(T_total, max(G, 16))
+    Tg = T_pad // G
+
+    mu1s, mu2s, dv, dl, nv = _conveyor_tables(mu1p, mu2p, ns, ms, S, T0,
+                                              T_pad)
+    mu1f = mu1s.reshape(T_pad, SUB, LANES)
+    mu2f = mu2s.reshape(T_pad, W * W * SUB, LANES)
+    dvf = dv.reshape(T_pad, SUB, LANES)
+    dlf = dl.reshape(T_pad, SUB, LANES)
+    nvf = nv.reshape(T_pad, SUB, LANES)
+
+    kernel = _conveyor_kernel(G, S, params, SUB, affine)
+    Q = N_STATES
+    slab = pltpu.VMEM(
+        (Q, W, W, SUB, LANES) if affine else (W, W, SUB, LANES),
+        jnp.int32,
+    )
+    acc = pltpu.VMEM((SUB, LANES), jnp.int32)
+    plane_spec = pl.BlockSpec((G, SUB, LANES), lambda g: (g, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Tg,),
+        in_specs=[
+            plane_spec,
+            pl.BlockSpec((G, W * W * SUB, LANES), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            plane_spec, plane_spec, plane_spec,
+        ],
+        out_specs=pl.BlockSpec((1, SUB, LANES), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tg, SUB, LANES), jnp.int32),
+        scratch_shapes=[slab, slab, acc],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(mu1f, mu2f, dvf, dlf, nvf)
+    # pair b's snapshot lives from grid step (b*T0 + n_b + m_b) // G
+    # until its acc slot is overwritten >= T0 > G steps later
+    caps = (jnp.arange(B, dtype=jnp.int32) * T0 + ns + ms) // G
+    return out[caps, ns // LANES, ns % LANES]
+
+
+# -- on-device mu-table build from sequence/structure codes -------------------
+#
+# Shipping dense mu tables to the device costs O(n*m) ints per pair
+# (~0.5 MB for a 365-aa pair); the raw inputs are O(n) BYTES.  On a
+# bandwidth-constrained host link (the axon tunnel measures ~47 MB/s)
+# the tables transfer dominated the whole batched path (measured 721 ms
+# of a ~970 ms 64-pair realistic batch), so the serving paths ship
+# per-pair CODE vectors + one device-resident 256x256 LUT and build the
+# mu planes on device (HBM-bandwidth, not link-bandwidth).  Protein
+# scoring only — the RNA mu2 stral floats must keep CPython float64
+# semantics and stay host-built (scoring/tables.py docstring).
+
+def _mu_planes_from_codes(lut, ca, cb, sa, sb, ns, ms, sw):
+    """Traced: [B, Ppad]/[B, Mp] uint8 code arrays -> int32 mu planes.
+
+    mu1[b, i, j] = lut[ca[b, i], cb[b, j]] and mu2[b, i, j] =
+    sw * (sa == sb), masked to the true 1-based (n, m) region (zeros
+    elsewhere, incl. row/col 0) — exactly the host tables
+    (scoring/tables.py sequence/structure similarity).
+    """
+    B, Ppad = ca.shape
+    Mp = cb.shape[1]
+    i_ = jnp.arange(Ppad, dtype=jnp.int32)[None, :, None]
+    j_ = jnp.arange(Mp, dtype=jnp.int32)[None, None, :]
+    mask = ((i_ >= 1) & (i_ <= ns[:, None, None])
+            & (j_ >= 1) & (j_ <= ms[:, None, None]))
+    ca_ = ca.astype(jnp.int32)
+    cb_ = cb.astype(jnp.int32)
+    mu1 = jnp.where(mask, lut[ca_[:, :, None], cb_[:, None, :]], 0)
+    mu2 = jnp.where(mask & (sa[:, :, None] == sb[:, None, :]),
+                    jnp.int32(sw), 0)
+    return mu1.astype(jnp.int32), mu2
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
+def _pallas_batched_codes(lut, ca, cb, sa, sb, ns, ms, D, max_shift,
+                          params, sw, affine):
+    """Score-only batched fill from code vectors: device LUT table
+    build, then the usual kernel routing (:func:`_route_batched`)."""
+    mu1p, mu2p = _mu_planes_from_codes(lut, ca, cb, sa, sb, ns, ms, sw)
+    return _route_batched(mu1p, mu2p, ns, ms, D, max_shift, params,
+                          affine, True)
+
+
+# Buckets below this row width keep the per-pair kernels (the packed
+# kernel covers Ppad == LANES; tests lower it to exercise the conveyor
+# on toy shapes in interpret mode).
+_CONVEYOR_MIN_PPAD = 2 * LANES
+
+
+def _use_conveyor(score_only: bool, B: int, Ppad: int, params,
+                  affine: bool, T0: int) -> bool:
+    if not score_only or B < 2 or Ppad < _CONVEYOR_MIN_PPAD:
+        return False
+    return (B - 1) * T0 + 2 * Ppad < _conveyor_safe_T(params, affine)
 
 
 def _on_tpu() -> bool:

@@ -394,8 +394,9 @@ def score_batch(tables, max_shift: int, params, *, affine: bool,
 # Pallas fill AND the vmapped on-device walk, so the host receives only
 # per-pair trace codes (O(n+m) ints each) — not bands.
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _fill_walk_affine(mu1p, mu2p, ns, ms, D, max_shift, params, _shape):
+def _fill_walk_affine_planes(mu1p, mu2p, ns, ms, D, max_shift, params):
+    """Traced body shared by the tables- and codes-input wrappers:
+    band-emitting batched fill + vmapped device walk."""
     from ..ops import device_traceback as dtb
     from ..ops import pallas_dp
 
@@ -411,8 +412,7 @@ def _fill_walk_affine(mu1p, mu2p, ns, ms, D, max_shift, params, _shape):
                                   ns, ms)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _fill_walk_nonaffine(mu1p, mu2p, ns, ms, D, max_shift, params, _shape):
+def _fill_walk_nonaffine_planes(mu1p, mu2p, ns, ms, D, max_shift, params):
     from ..ops import device_traceback as dtb
     from ..ops import pallas_dp
     from ..ops.cases import NonAffineTables
@@ -437,6 +437,33 @@ def _fill_walk_nonaffine(mu1p, mu2p, ns, ms, D, max_shift, params, _shape):
     f = (S * W + S) * SUBw + ns // L
     scores = ysb[jnp.arange(B), ns + ms, f, ns % L]
     return codes, steps, scores
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _fill_walk_affine(mu1p, mu2p, ns, ms, D, max_shift, params, _shape):
+    return _fill_walk_affine_planes(mu1p, mu2p, ns, ms, D, max_shift,
+                                    params)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _fill_walk_nonaffine(mu1p, mu2p, ns, ms, D, max_shift, params, _shape):
+    return _fill_walk_nonaffine_planes(mu1p, mu2p, ns, ms, D, max_shift,
+                                       params)
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
+def _fill_walk_codes(lut, ca, cb, sa, sb, ns, ms, D, max_shift, params,
+                     sw, affine):
+    """Codes-input fused fill+walk: device LUT table build, then the
+    shared planes body (the walk re-evaluates cases against the same
+    on-device mu planes)."""
+    from ..ops import pallas_dp
+
+    mu1p, mu2p = pallas_dp._mu_planes_from_codes(lut, ca, cb, sa, sb,
+                                                 ns, ms, sw)
+    body = (_fill_walk_affine_planes if affine
+            else _fill_walk_nonaffine_planes)
+    return body(mu1p, mu2p, ns, ms, D, max_shift, params)
 
 
 @functools.lru_cache(maxsize=None)
@@ -570,6 +597,150 @@ def align_batch(tables, max_shift: int, params, *, affine: bool,
         tables, max_shift, params, affine=affine, mesh=mesh,
         bucket_quantum=bucket_quantum, chunk=chunk,
     ).get()
+
+
+# -- codes-input serving path (device-side table build) -----------------------
+#
+# The tables-input paths ship O(n*m) ints per pair to the device; the
+# raw inputs are O(n) bytes.  On a bandwidth-constrained host link the
+# transfer dominates (measured 47 MB/s through the axon tunnel: 721 ms
+# of a ~970 ms 64-pair realistic batch), so the streaming driver ships
+# per-pair CODE vectors + one device-resident 256x256 LUT and the mu
+# tables are built on device (ops/pallas_dp._mu_planes_from_codes).
+# Protein scoring only — RNA mu2 keeps host float64 (tables.py).
+
+def encode_pair(seqA: str, seqB: str, strA: str, strB: str):
+    """1-based uint8 code vectors (index 0 unused = 0) for the
+    device-LUT scoring path."""
+    def enc(s):
+        a = np.zeros(len(s) + 1, dtype=np.uint8)
+        a[1:] = np.frombuffer(s.encode("latin-1"), dtype=np.uint8)
+        return a
+
+    return enc(seqA), enc(seqB), enc(strA), enc(strB)
+
+
+def match_mismatch_lut(match: int, mismatch: int) -> np.ndarray:
+    """256x256 LUT equivalent of the match/mismatch mu1 (tables.py
+    sequence_similarity_table without a simmatrix)."""
+    lut = np.full((256, 256), int(mismatch), dtype=np.int32)
+    np.fill_diagonal(lut, int(match))
+    return lut
+
+
+def _require_int32_safe_codes(lut, sw, buckets, params, affine):
+    """Codes-path twin of :func:`_require_int32_safe`: the mu magnitude
+    bound comes from the LUT and structure weight instead of per-pair
+    tables."""
+    amax = max(int(np.abs(np.asarray(lut)).max()), abs(int(sw)))
+    if affine:
+        beta, gamma, delta = params
+    else:
+        beta = 0
+        gamma, delta = params
+    per_col = (2 * abs(int(gamma)) + 2 * abs(int(beta))
+               + 2 * abs(int(delta)) + 2 * amax)
+    worst = max(N + M for (N, M) in buckets)
+    bound = 2 * (worst + 2) * per_col
+    if not ((-(1 << 30)) - bound > np.iinfo(np.int32).min + (1 << 20)):
+        raise ValueError(
+            "scoring parameters/LUT exceed the certified int32 range "
+            f"(value drift bound {bound}); score these pairs "
+            "individually via BiAligner (engine='xla')"
+        )
+
+
+def _code_buckets(pairs, bucket_quantum: int):
+    """Bucket (ca, cb, sa, sb) code-vector pairs by quantized shape;
+    each bucket's ca/sa are padded to the LANE-padded row count so the
+    device build skips the lane pad."""
+    from ..ops.pallas_dp import LANES, PACK, _round_up
+
+    buckets: dict = {}
+    for idx, (ca, cb, sa, sb) in enumerate(pairs):
+        n = len(ca) - 1
+        m = len(cb) - 1
+        N = quantize(n, bucket_quantum)
+        M = quantize(m, bucket_quantum)
+        b = buckets.setdefault((N, M), Bucket(N, M))
+        b.indices.append(idx)
+        b.mu1d.append((ca, sa))      # reuse Bucket fields for codes
+        b.mu2d.append((cb, sb))
+        b.n.append(n)
+        b.m.append(m)
+
+    packed = {}
+    for (N, M), b in buckets.items():
+        B = len(b.indices)
+        Bp = ((B + PACK - 1) // PACK) * PACK
+        Ppad = _round_up(N + 1, LANES)
+        ca = np.zeros((Bp, Ppad), dtype=np.uint8)
+        sa = np.zeros((Bp, Ppad), dtype=np.uint8)
+        cb = np.zeros((Bp, M + 1), dtype=np.uint8)
+        sb = np.zeros((Bp, M + 1), dtype=np.uint8)
+        for pos in range(Bp):
+            a_, s_ = b.mu1d[min(pos, B - 1)]
+            c_, t_ = b.mu2d[min(pos, B - 1)]
+            ca[pos, : len(a_)] = a_
+            sa[pos, : len(s_)] = s_
+            cb[pos, : len(c_)] = c_
+            sb[pos, : len(t_)] = t_
+        ns = np.asarray(b.n + [b.n[-1]] * (Bp - B), dtype=np.int32)
+        ms = np.asarray(b.m + [b.m[-1]] * (Bp - B), dtype=np.int32)
+        packed[(N, M)] = (b.indices, ca, cb, sa, sb, ns, ms)
+    return packed
+
+
+def dispatch_score_batch_codes(pairs, max_shift: int, params, *,
+                               affine: bool, lut, structure_weight: int,
+                               bucket_quantum: int = 64) -> PendingScores:
+    """Launch batched scoring from code vectors (see module section
+    doc).  ``pairs``: list of :func:`encode_pair` tuples; ``lut``: a
+    [256, 256] int32 device (or host) array — pass the SAME array
+    object across chunks so JAX reuses its device copy."""
+    from ..ops import pallas_dp
+
+    pairs = list(pairs)
+    packed = _code_buckets(pairs, bucket_quantum)
+    _require_int32_safe_codes(lut, structure_weight, packed, params,
+                              affine)
+    parts = []
+    for (N, M), (indices, ca, cb, sa, sb, ns, ms) in packed.items():
+        D = N + M + 1
+        dev = pallas_dp._pallas_batched_codes(
+            lut, jnp.asarray(ca), jnp.asarray(cb), jnp.asarray(sa),
+            jnp.asarray(sb), jnp.asarray(ns), jnp.asarray(ms),
+            D, max_shift, tuple(params), int(structure_weight), affine,
+        )
+        parts.append((indices, dev))
+    return PendingScores(len(pairs), parts)
+
+
+def dispatch_align_batch_codes(pairs, max_shift: int, params, *,
+                               affine: bool, lut, structure_weight: int,
+                               bucket_quantum: int = 64,
+                               chunk: int = 64) -> PendingAlignments:
+    """Codes-input twin of :func:`dispatch_align_batch`."""
+    pairs = list(pairs)
+    packed = _code_buckets(pairs, bucket_quantum)
+    _require_int32_safe_codes(lut, structure_weight, packed, params,
+                              affine)
+    parts = []
+    for (N, M), (indices, ca, cb, sa, sb, ns, ms) in packed.items():
+        D = N + M + 1
+        for lo in range(0, len(indices), chunk):
+            idxs = indices[lo:lo + chunk]
+            hi = lo + len(idxs)          # drop the PACK pad rows here
+            sl = slice(lo, hi)
+            dev = _fill_walk_codes(
+                lut, jnp.asarray(ca[sl]), jnp.asarray(cb[sl]),
+                jnp.asarray(sa[sl]), jnp.asarray(sb[sl]),
+                jnp.asarray(ns[sl]), jnp.asarray(ms[sl]),
+                D, max_shift, tuple(params), int(structure_weight),
+                affine,
+            )
+            parts.append((idxs, affine, dev))
+    return PendingAlignments(len(pairs), parts)
 
 
 # -- prepared (cached) device buckets -----------------------------------------

@@ -140,6 +140,65 @@ class StreamingAligner:
         self.affine = beta != 0
         self.ptuple = (beta, gamma, delta) if self.affine else (gamma, delta)
         self.is_rna = self.params["type"] == "RNA"
+        self._init_codes_path()
+
+    def _init_codes_path(self):
+        """Protein streams score through the codes path: per-pair CODE
+        vectors + a device-resident LUT, mu tables built on device —
+        the host link then carries O(n) bytes/pair instead of O(n*m)
+        table ints (the measured wall on tunnel-attached TPUs; see
+        bialign_tpu.parallel.batch codes section).  RNA keeps the host
+        tables (float64 mu2 parity), as does a sharded mesh."""
+        self._codes_lut = None
+        if self.is_rna or self.mesh is not None:
+            return
+        name = self.params.get("simmatrix")
+        if name:
+            from ..scoring.tables import _sim_lut
+
+            lut, valid = _sim_lut(name)
+            rows = valid.any(axis=1)
+            cols = valid.any(axis=0)
+            if not (valid == np.outer(rows, cols)).all():
+                return     # ragged matrix: keep exact dict semantics
+            self._valid_rows, self._valid_cols = rows, cols
+        else:
+            lut = pbatch.match_mismatch_lut(
+                int(self.params.get("sequence_match_similarity", 100)),
+                int(self.params.get("sequence_mismatch_similarity", 0)),
+            )
+            self._valid_rows = self._valid_cols = None
+        import jax
+
+        self._codes_lut = jax.device_put(lut)
+        self._sw = int(self.params.get("structure_weight", 400))
+
+    def _encode(self, rec: PairRecord):
+        """Code vectors for one record, with the tables path's input
+        validation (molecule errors + simmatrix KeyError parity)."""
+        from ..models.molecule import MoleculeError
+
+        for seq, st in ((rec.seqA, rec.strA), (rec.seqB, rec.strB)):
+            if st is None:
+                raise MoleculeError(
+                    "Structures have to be provided when aligning "
+                    "proteins"
+                )
+            if len(st) != len(seq):
+                raise MoleculeError(
+                    "Provided structure and sequence must have the "
+                    "same length."
+                )
+        ca, cb, sa, sb = pbatch.encode_pair(rec.seqA, rec.seqB,
+                                            rec.strA, rec.strB)
+        if self._valid_rows is not None:
+            bad = ~self._valid_rows[ca[1:]]
+            if bad.any():
+                raise KeyError(rec.seqA[int(np.argmax(bad))])
+            bad = ~self._valid_cols[cb[1:]]
+            if bad.any():
+                raise KeyError(rec.seqB[int(np.argmax(bad))])
+        return ca, cb, sa, sb
 
     def _tables(self, rec: PairRecord):
         molA = preprocess_molecule(rec.seqA, rec.strA, is_rna=self.is_rna)
@@ -181,8 +240,30 @@ class StreamingAligner:
         self.stats.stop()
 
     def _dispatch(self, chunk):
-        """Host side of a chunk: build tables, pack buckets, LAUNCH the
-        kernels; returns (pending handle, band cells) without blocking."""
+        """Host side of a chunk: build tables (or encode codes), pack
+        buckets, LAUNCH the kernels; returns (pending handle, band
+        cells) without blocking."""
+        if self._codes_lut is not None:
+            pairs = [self._encode(r) for r in chunk]
+            if self.alignments:
+                p = pbatch.dispatch_align_batch_codes(
+                    pairs, self.max_shift, self.ptuple,
+                    affine=self.affine, lut=self._codes_lut,
+                    structure_weight=self._sw,
+                    bucket_quantum=self.bucket_quantum,
+                )
+            else:
+                p = pbatch.dispatch_score_batch_codes(
+                    pairs, self.max_shift, self.ptuple,
+                    affine=self.affine, lut=self._codes_lut,
+                    structure_weight=self._sw,
+                    bucket_quantum=self.bucket_quantum,
+                )
+            cells = sum(
+                band_cells(len(r.seqA), len(r.seqB), self.max_shift)
+                for r in chunk
+            )
+            return p, cells
         tables = [self._tables(r) for r in chunk]
         if self.alignments:
             p = pbatch.dispatch_align_batch(

@@ -146,6 +146,62 @@ def _run_dnapol_full(engine="pallas"):
     return res
 
 
+def _run_conveyor_codes_case():
+    """Conveyor + codes serving path, COMPILED on the real chip: 12
+    mixed 150-250-aa DNA-Pol windows through dispatch_score_batch_codes
+    (device LUT build -> conveyor kernel) must match the tables-input
+    per-pair batched kernel bit-for-bit."""
+    import random
+
+    import jax
+
+    from bialign_tpu.models.molecule import preprocess_molecule
+    from bialign_tpu.parallel import batch as pbatch
+    from bialign_tpu.scoring.tables import _sim_lut, build_score_tables
+
+    res = {"name": "conveyor_codes_150_250aa", "ok": False}
+    try:
+        (seqA, strA), (seqB, strB) = _dnapol_mols()
+        rng = random.Random(9)
+        params = {"type": "Protein", "structure_weight": 800,
+                  "simmatrix": "BLOSUM62", "gap_opening_cost": -150,
+                  "gap_cost": -50, "shift_cost": -150, "max_shift": 1}
+        recs = []
+        for _ in range(12):
+            la = rng.randint(150, 250)
+            a0 = rng.randint(0, len(seqA) - la)
+            lb = la + rng.randint(-8, 8)
+            b0 = rng.randint(0, len(seqB) - lb)
+            recs.append((seqA[a0:a0 + la], strA[a0:a0 + la],
+                         seqB[b0:b0 + lb], strB[b0:b0 + lb]))
+        lut, _ = _sim_lut("BLOSUM62")
+        t0 = time.perf_counter()
+        pairs = [pbatch.encode_pair(a, b, sa, sb)
+                 for a, sa, b, sb in recs]
+        got = pbatch.dispatch_score_batch_codes(
+            pairs, 1, (-150, -50, -150), affine=True,
+            lut=jax.device_put(lut), structure_weight=800,
+        ).get()
+        res["t_codes_s"] = round(time.perf_counter() - t0, 2)
+        tables = []
+        for a, sa, b, sb in recs:
+            molA = preprocess_molecule(a, sa, is_rna=False)
+            molB = preprocess_molecule(b, sb, is_rna=False)
+            tables.append(build_score_tables(molA, molB, params,
+                                             is_rna=False))
+        # cross-ENGINE anchor: the vmapped XLA scan shares no code with
+        # the conveyor kernel or the device LUT build
+        want = pbatch.score_batch(tables, 1, (-150, -50, -150),
+                                  affine=True, engine="xla")
+        res["scores"] = [int(x) for x in got]
+        res["ok"] = bool((got == want).all())
+        if not res["ok"]:
+            res["want"] = [int(x) for x in want]
+    except Exception as e:  # noqa: BLE001
+        res["error"] = f"{type(e).__name__}: {e}"
+    return res
+
+
 def main():
     # apply JAX_PLATFORMS/compile-cache config BEFORE any backend init
     # (a sitecustomize may have pinned the platform already)
@@ -190,6 +246,7 @@ def main():
     report["cases"].append(_run_case(
         "dnapol_prefix150_affine", mol, params, 117180, None, engine,
     ))
+    report["cases"].append(_run_conveyor_codes_case())
     report["cases"].append(_run_dnapol_full(engine))
 
     report["ok"] = all(c["ok"] for c in report["cases"])
