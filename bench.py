@@ -394,6 +394,10 @@ def _streaming_fn(n_pairs, alignments):
             if os.path.exists(spool):
                 os.unlink(spool)
 
+    # one warmup pass so the reported spread is the sustained steady
+    # state, not per-bucket-geometry compile time (~90 s cold vs ~1 s
+    # warm for the 10k corpus)
+    measure()
     return measure, info
 
 
@@ -427,6 +431,10 @@ def _realistic_batched_fn(B=64, lo=128, hi=512, seed=5):
         return pbatch.dispatch_score_batch_codes(
             pairs, 1, ptuple, affine=True, lut=lut_dev,
             structure_weight=sw,
+            # coarse buckets: each bucket dispatch pays a host-link
+            # round trip, and the conveyor absorbs in-bucket padding
+            # at ~T0-per-pair cost
+            bucket_quantum=128,
         ).get()
 
     scores = run_once()

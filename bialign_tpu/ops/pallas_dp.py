@@ -927,6 +927,29 @@ def _diag_mu_tables_plast(mu1: np.ndarray, mu2: np.ndarray, S: int,
     return jnp.asarray(MU1D), jnp.asarray(MU2D)
 
 
+def _skew(a, D_pad: int):
+    """[P, C] -> [P, D_pad] with out[i, d] = a[i, d - i] (0 outside
+    0 <= d - i < C): the classic anti-diagonal shear via pad+reshape —
+    pad each row by one extra slot, flatten, re-view with the original
+    width; NO gather (XLA elementwise gathers measured 10-60x slower
+    than this relayout copy on the batched table builds)."""
+    P, C = a.shape
+    width = max(D_pad, C + P - 1)
+    ap = jnp.pad(a, ((0, 0), (0, width + 1 - C)))
+    flat = ap.reshape(-1)[: P * width]
+    return flat.reshape(P, width)[:, :D_pad]
+
+
+def _shifted(mu, dk: int, dl: int):
+    """[P, Mp] -> same shape with out[i, j] = mu[i+dk, j+dl], zeros out
+    of range (static pad+slice)."""
+    P, Mp = mu.shape
+    padded = jnp.pad(mu, ((max(-dk, 0), max(dk, 0)),
+                          (max(-dl, 0), max(dl, 0))))
+    return padded[max(dk, 0): max(dk, 0) + P,
+                  max(dl, 0): max(dl, 0) + Mp]
+
+
 def _diag_tables_device(mu1p, mu2p, S: int, D_pad: int):
     """On-device diagonal-layout tables (p_last) from dense padded mu
     tables (traced; call inside jit).
@@ -935,27 +958,21 @@ def _diag_tables_device(mu1p, mu2p, S: int, D_pad: int):
     (n+1, m+1) region.  Returns MU1D [D_pad, Ppad] and MU2D
     [D_pad, W, W, Ppad] with the same semantics as
     :func:`_diag_mu_tables_plast` (zeros out of range — only ever read
-    by masked-out cases).  Building on device replaces an O(D*W^2*P)
-    host-side numpy build + transfer per pair with a dense [Ppad, Mp]
-    transfer and two XLA gathers.
+    by masked-out cases).  Implementation is gather-free: each (sk, sl)
+    plane is a statically shifted copy of mu, sheared into diagonal
+    layout by :func:`_skew` and transposed — pure relayout copies at
+    HBM bandwidth (the index-arithmetic gather formulation this
+    replaces ran ~10-60x slower at batched-bucket scale).
     """
-    Ppad, Mp = mu1p.shape
-    M = Mp - 1
     W = 2 * S + 1
-    d_ = jnp.arange(D_pad)[:, None]
-    i_ = jnp.arange(Ppad)[None, :]
-    j_ = d_ - i_
-    ok = (j_ >= 0) & (j_ <= M)
-    i_b = jnp.broadcast_to(i_, (D_pad, Ppad))
-    mu1d = jnp.where(ok, mu1p[i_b, jnp.clip(j_, 0, M)], 0)
-
-    k_ = i_[:, None, None, :] + jnp.arange(W)[None, :, None, None] - S
-    l_ = j_[:, None, None, :] + jnp.arange(W)[None, None, :, None] - S
-    k_b, l_b = jnp.broadcast_arrays(k_, l_)
-    ok2 = (k_b >= 0) & (k_b < Ppad) & (l_b >= 0) & (l_b <= M)
-    mu2d = jnp.where(
-        ok2, mu2p[jnp.clip(k_b, 0, Ppad - 1), jnp.clip(l_b, 0, M)], 0
-    )
+    mu1d = _skew(mu1p, D_pad).T
+    planes = []
+    for sk in range(W):
+        row = []
+        for sl in range(W):
+            row.append(_skew(_shifted(mu2p, sk - S, sl - S), D_pad).T)
+        planes.append(jnp.stack(row))
+    mu2d = jnp.stack(planes).transpose(2, 0, 1, 3)
     return mu1d.astype(jnp.int32), mu2d.astype(jnp.int32)
 
 
@@ -1612,43 +1629,61 @@ def _conveyor_kernel(G: int, S: int, params, SUB: int, affine: bool):
 
 
 def _conveyor_tables(mu1p, mu2p, ns, ms, S, T0, T_pad):
-    """Spliced per-global-step tables + planes (traced; XLA gathers).
+    """Spliced per-global-step tables + planes (traced).
 
     mu1p/mu2p: [B, Ppad, Mp] dense int32; returns
     (mu1s [T, Ppad], mu2s [T, W, W, Ppad], dvec, dl, nv [T, Ppad]).
-    Row r at step t serves pair k = clip((t - r) // T0) on its own
-    diagonal d = t - k*T0; out-of-range lattice reads are 0 (only ever
-    consumed by masked-out cases, as in _diag_tables_device).
+    Row r at step t serves pair k = (t - r) // T0 on its own diagonal
+    d = t - k*T0.
+
+    Built WITHOUT elementwise gathers (measured 10-60x too slow): the
+    per-pair DIAGONAL tables are built first (gather-free
+    :func:`_diag_tables_device`), and at any step at most
+    ceil(Ppad/T0)+1 pair stripes are active, so the spliced step-table
+    is a per-stripe ROW-SLICE gather (whole [W, W, Ppad] slices — an
+    embedding-style lookup XLA runs at bandwidth) blended by the
+    row-stripe mask.  Rows of not-yet-entered / drained stripes get
+    mu 0, dvec -1 (all cases guard off) and dl -1 (no false capture).
     """
     B, Ppad, Mp = mu1p.shape
-    M = Mp - 1
     W = 2 * S + 1
+    # pair segments along t have period T0 >= Mp + 2S + 1 > Mp, so a
+    # row's per-pair segments never overlap: spliced[t, r] =
+    # Y[r, t - r] where Y[r, k*T0 + j] = plane[k, r, j] (zeros for
+    # j >= Mp) — i.e. pad-to-T0 + interleave + the same _skew shear.
+    assert T0 >= Mp and T_pad >= B * T0
+
+    def conv(plane):                      # [B, Ppad, Mp] -> [T_pad, P]
+        y = jnp.pad(plane, ((0, 0), (0, 0), (0, T0 - Mp)))
+        y = jnp.moveaxis(y, 0, 1).reshape(Ppad, B * T0)
+        return _skew(y, T_pad).T
+
+    mu1s = conv(mu1p)
+    shift = jax.vmap(_shifted, in_axes=(0, None, None))
+    mu2s = jnp.stack([
+        jnp.stack([conv(shift(mu2p, sk - S, sl - S))
+                   for sl in range(W)])
+        for sk in range(W)
+    ]).transpose(2, 0, 1, 3)              # [T_pad, W, W, P]
+
     t_ = jnp.arange(T_pad, dtype=jnp.int32)[:, None]
     r_ = jnp.arange(Ppad, dtype=jnp.int32)[None, :]
-    k = jnp.clip((t_ - r_) // T0, 0, B - 1)
-    d = t_ - k * T0
-    j_ = d - r_
-    ok = (j_ >= 0) & (j_ <= M)
-    r_b = jnp.broadcast_to(r_, (T_pad, Ppad))
-    mu1s = jnp.where(ok, mu1p[k, r_b, jnp.clip(j_, 0, M)], 0)
+    tr = t_ - r_
+    live = (tr >= 0) & (tr < B * T0)
+    dv = jnp.where(live, tr % T0 + r_, -1)
 
-    k4 = k[:, None, None, :]
-    kx = r_[None, None, None, :] + \
-        jnp.arange(W, dtype=jnp.int32)[None, :, None, None] - S
-    lx = j_[:, None, None, :] + \
-        jnp.arange(W, dtype=jnp.int32)[None, None, :, None] - S
-    kx_b, lx_b, k4_b = jnp.broadcast_arrays(kx, lx, k4)
-    ok2 = (kx_b >= 0) & (kx_b < Ppad) & (lx_b >= 0) & (lx_b <= M)
-    mu2s = jnp.where(
-        ok2,
-        mu2p[k4_b, jnp.clip(kx_b, 0, Ppad - 1), jnp.clip(lx_b, 0, M)],
-        0,
-    )
-    nm = (ns + ms).astype(jnp.int32)
-    dl = nm[k]
-    nv = ns.astype(jnp.int32)[k]
-    return (mu1s.astype(jnp.int32), mu2s.astype(jnp.int32),
-            d.astype(jnp.int32), dl, nv)
+    def conv_scalar(vals):
+        """[B] int32 -> [T_pad, P] with out[t, r] = vals[k] for the
+        stripe owning row r, -1 outside — the same shear applied to a
+        per-pair-constant payload (vals + 1 so the shear's 0 fill
+        decodes to -1)."""
+        g = jnp.repeat(vals.astype(jnp.int32) + 1, T0)        # [B*T0]
+        h = _skew(jnp.broadcast_to(g[None, :], (Ppad, B * T0)), T_pad)
+        return h.T - 1
+
+    dl = conv_scalar(ns + ms)
+    nv = conv_scalar(ns)
+    return mu1s, mu2s, dv, dl, nv
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
@@ -1734,12 +1769,19 @@ def _mu_planes_from_codes(lut, ca, cb, sa, sb, ns, ms, sw):
     j_ = jnp.arange(Mp, dtype=jnp.int32)[None, None, :]
     mask = ((i_ >= 1) & (i_ <= ns[:, None, None])
             & (j_ >= 1) & (j_ <= ms[:, None, None]))
-    ca_ = ca.astype(jnp.int32)
-    cb_ = cb.astype(jnp.int32)
-    mu1 = jnp.where(mask, lut[ca_[:, :, None], cb_[:, None, :]], 0)
+    # LUT application as two one-hot matmuls (MXU): an elementwise
+    # [B, P, Mp] 2-D gather measured ~60 M lookups/s on v5e while the
+    # equivalent one-hot contraction is bandwidth/MXU-bound.  Exact:
+    # each output sums exactly one LUT entry (|values| < 2^24) in f32.
+    sym = jnp.arange(256, dtype=jnp.int32)
+    e_a = (ca.astype(jnp.int32)[:, :, None] == sym).astype(jnp.float32)
+    e_b = (cb.astype(jnp.int32)[:, :, None] == sym).astype(jnp.float32)
+    rows = jnp.einsum("bpc,cd->bpd", e_a, lut.astype(jnp.float32))
+    mu1 = jnp.einsum("bpd,bmd->bpm", rows, e_b).astype(jnp.int32)
+    mu1 = jnp.where(mask, mu1, 0)
     mu2 = jnp.where(mask & (sa[:, :, None] == sb[:, None, :]),
                     jnp.int32(sw), 0)
-    return mu1.astype(jnp.int32), mu2
+    return mu1, mu2
 
 
 @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))

@@ -262,8 +262,12 @@ class PendingScores:
 
     def get(self) -> np.ndarray:
         out = np.zeros(self._n, dtype=np.int64)
-        for indices, dev in self._parts:
-            scores = np.asarray(jax.device_get(dev))
+        # ONE device_get over all buckets: each get is a host-link
+        # round trip (~tens of ms on a tunnel-attached device), so
+        # per-bucket gets serialized the latency
+        fetched = jax.device_get([dev for _, dev in self._parts])
+        for (indices, _), scores in zip(self._parts, fetched):
+            scores = np.asarray(scores)
             for pos, idx in enumerate(indices):
                 out[idx] = scores[pos]
         return out
@@ -508,11 +512,13 @@ class PendingAlignments:
         scores = np.zeros(self._n, dtype=np.int64)
         traces: list = [None] * self._n
         complete = [True] * self._n
-        for idxs, affine, dev in self._parts:
+        # one round trip for all chunks (see PendingScores.get)
+        fetched = jax.device_get([dev for _, _, dev in self._parts])
+        for (idxs, affine, _), got in zip(self._parts, fetched):
             if affine:
-                codes, steps, done, scs = jax.device_get(dev)
+                codes, steps, done, scs = got
             else:
-                codes, steps, scs = jax.device_get(dev)
+                codes, steps, scs = got
                 done = None
             for pos, idx in enumerate(idxs):
                 traces[idx] = decode_walk_codes(codes[pos],
@@ -523,13 +529,32 @@ class PendingAlignments:
         return scores, traces, complete
 
 
+def _auto_chunk(N: int, M: int, affine: bool,
+                budget: int = 2 << 30) -> int:
+    """Pairs per fused fill+walk dispatch, sized so one chunk's HBM
+    band stays under ``budget`` bytes: every dispatch is a host-link
+    round trip (~tens of ms on tunnel-attached devices), so chunks
+    should be as large as the band memory allows."""
+    from ..ops.cases import N_STATES
+    from ..ops.pallas_dp import LANES, _round_up
+
+    W3 = 9   # W^2 at the default max_shift 1; conservative upper bound
+    Ppad = _round_up(N + 1, LANES)
+    D_pad = _round_up(N + M + 1, 16)
+    q = N_STATES if affine else 1
+    per_pair = D_pad * q * W3 * Ppad * 4
+    return max(16, min(1024, budget // max(per_pair, 1)))
+
+
 def dispatch_align_batch(tables, max_shift: int, params, *, affine: bool,
                          mesh: Mesh | None = None, bucket_quantum: int = 64,
-                         chunk: int = 64) -> PendingAlignments:
+                         chunk: int | None = None) -> PendingAlignments:
     """Pack and LAUNCH every bucket-chunk's fused fill+walk without
     blocking (same arguments as :func:`align_batch`); chunks queue on
     the device in dispatch order, so peak band memory stays one chunk's
-    worth while the caller overlaps host packing of the next batch."""
+    worth while the caller overlaps host packing of the next batch.
+    ``chunk=None`` sizes chunks per bucket from the band-memory budget
+    (:func:`_auto_chunk`)."""
     from ..ops.pallas_dp import _narrow_if_fits
 
     tables = list(tables)
@@ -538,15 +563,16 @@ def dispatch_align_batch(tables, max_shift: int, params, *, affine: bool,
     parts = []
     for (N, M), b in buckets.items():
         D = N + M + 1
-        for lo in range(0, len(b.indices), chunk):
-            idxs = b.indices[lo:lo + chunk]
+        bchunk = _auto_chunk(N, M, affine) if chunk is None else chunk
+        for lo in range(0, len(b.indices), bchunk):
+            idxs = b.indices[lo:lo + bchunk]
             B = len(idxs)
             Bp = B
             if mesh is not None:
                 ds = mesh.shape["data"]
                 Bp = ((B + ds - 1) // ds) * ds
             pad = Bp - B
-            sl = slice(lo, lo + chunk)
+            sl = slice(lo, lo + bchunk)
             mu1p = _narrow_if_fits(stack_padded(b.mu1d[sl], N, M, pad))
             mu2p = _narrow_if_fits(stack_padded(b.mu2d[sl], N, M, pad))
             ns = np.asarray(b.n[sl] + [b.n[sl][-1]] * pad,
@@ -573,7 +599,7 @@ def dispatch_align_batch(tables, max_shift: int, params, *, affine: bool,
 
 def align_batch(tables, max_shift: int, params, *, affine: bool,
                 mesh: Mesh | None = None, bucket_quantum: int = 64,
-                chunk: int = 64):
+                chunk: int | None = None):
     """Traces + scores for a batch of pairs, in input order.
 
     Returns ``(scores, traces, complete)``: int64 scores, per-pair
@@ -719,7 +745,8 @@ def dispatch_score_batch_codes(pairs, max_shift: int, params, *,
 def dispatch_align_batch_codes(pairs, max_shift: int, params, *,
                                affine: bool, lut, structure_weight: int,
                                bucket_quantum: int = 64,
-                               chunk: int = 64) -> PendingAlignments:
+                               chunk: int | None = None
+                               ) -> PendingAlignments:
     """Codes-input twin of :func:`dispatch_align_batch`."""
     pairs = list(pairs)
     packed = _code_buckets(pairs, bucket_quantum)
@@ -728,8 +755,9 @@ def dispatch_align_batch_codes(pairs, max_shift: int, params, *,
     parts = []
     for (N, M), (indices, ca, cb, sa, sb, ns, ms) in packed.items():
         D = N + M + 1
-        for lo in range(0, len(indices), chunk):
-            idxs = indices[lo:lo + chunk]
+        bchunk = _auto_chunk(N, M, affine) if chunk is None else chunk
+        for lo in range(0, len(indices), bchunk):
+            idxs = indices[lo:lo + bchunk]
             hi = lo + len(idxs)          # drop the PACK pad rows here
             sl = slice(lo, hi)
             dev = _fill_walk_codes(
