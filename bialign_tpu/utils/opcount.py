@@ -19,8 +19,24 @@ Counting model (documented so the peak fraction is interpretable):
   diagonals; genuine 4D cells total (n+1)(m+1)W^2.  The executed-op
   rate therefore exceeds the genuine-cell rate by Ppad*D/((n+1)(m+1))
   (~2.2x for the square DNA-Pol pair: inactive lattice rows at the
-  band's triangular ends are computed and discarded — the cost of
-  static shapes).  Both fractions are reported.
+  band's triangular ends are computed and discarded).  Both fractions
+  are reported.
+
+Why the single-pair triangular ends are NOT maskable (round-4 review
+asked for ragged row-windowing): for pairs up to 1024 residues the
+whole row axis [SUB=8, LANES=128] is exactly ONE int32 vreg per
+(q, sk, sl) coordinate, so the live window [d-m, min(n, d)] is an
+intra-vreg range — vreg ops are all-or-nothing, and the only way to
+shrink them is packing the 81 (q, sk, sl) coordinates onto sublanes
+(81 does not tile the 8-sublane vreg; every shift then becomes 2-3
+vreg ops instead of a free leading-axis reselect — projected net
+< 1.3x at high risk to bit-exactness).  The shipped answer removes the
+waste ACROSS pairs instead: the conveyor kernel
+(ops/pallas_dp, batched score fills) streams a bucket's pairs through
+one slab phase-offset by T0 ~ M+2 steps, so one pair's draining
+triangle overlaps the next pair's ramp — sustained executed/genuine
+~Ppad/(n+1) (~1.1x) for corpus workloads, where throughput actually
+matters; the lone-pair fill keeps its latency-bound 2.2x.
 
 Peak model: 8 sublanes x 128 lanes x 8 ALU slots x 0.94 GHz ~ 7.7e12
 int32 ops/s.  The slot count is inferred, not quoted: under a 4-slot
