@@ -1771,13 +1771,20 @@ def _mu_planes_from_codes(lut, ca, cb, sa, sb, ns, ms, sw):
             & (j_ >= 1) & (j_ <= ms[:, None, None]))
     # LUT application as two one-hot matmuls (MXU): an elementwise
     # [B, P, Mp] 2-D gather measured ~60 M lookups/s on v5e while the
-    # equivalent one-hot contraction is bandwidth/MXU-bound.  Exact:
-    # each output sums exactly one LUT entry (|values| < 2^24) in f32.
+    # equivalent one-hot contraction is bandwidth/MXU-bound.  Exact
+    # ONLY at Precision.HIGHEST: each output sums exactly one LUT entry
+    # (|values| < 2^24), but the TPU default matmul precision truncates
+    # f32 inputs to bf16 whose 8-bit mantissa cannot represent values
+    # like 500 — caught by tpucheck's compiled cross-engine case as a
+    # +4 score drift (CPU f32 matmuls are exact, so CPU tests passed).
+    hi = jax.lax.Precision.HIGHEST
     sym = jnp.arange(256, dtype=jnp.int32)
     e_a = (ca.astype(jnp.int32)[:, :, None] == sym).astype(jnp.float32)
     e_b = (cb.astype(jnp.int32)[:, :, None] == sym).astype(jnp.float32)
-    rows = jnp.einsum("bpc,cd->bpd", e_a, lut.astype(jnp.float32))
-    mu1 = jnp.einsum("bpd,bmd->bpm", rows, e_b).astype(jnp.int32)
+    rows = jnp.einsum("bpc,cd->bpd", e_a, lut.astype(jnp.float32),
+                      precision=hi)
+    mu1 = jnp.einsum("bpd,bmd->bpm", rows, e_b,
+                     precision=hi).astype(jnp.int32)
     mu1 = jnp.where(mask, mu1, 0)
     mu2 = jnp.where(mask & (sa[:, :, None] == sb[:, None, :]),
                     jnp.int32(sw), 0)

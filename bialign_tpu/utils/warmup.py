@@ -33,6 +33,7 @@ import numpy as np
 
 def prewarm(lengths, *, params, max_shift: int = 2, band: bool = True,
             score_only: bool = True, traceback: bool = False,
+            streaming: bool = False, streaming_batch: int = 512,
             interpret=None, log=None):
     """Compile the DP kernels for every length bucket in ``lengths``.
 
@@ -45,6 +46,10 @@ def prewarm(lengths, *, params, max_shift: int = 2, band: bool = True,
     ``traceback`` additionally compiles the on-device walk, whose
     compile is shared per 64-quantized (n, m) bucket (the walk pads its
     mu tables via ``device_traceback._pad_mu``), like the fills.
+    ``streaming`` additionally compiles the StreamingAligner codes-path
+    batched kernels (device LUT build + packed/conveyor) for
+    ``streaming_batch``-pair chunks — a cold corpus chunk otherwise
+    pays several seconds of bucket-geometry compiles on first flush.
 
     Returns a list of ``(description, seconds)`` compile timings.
     """
@@ -98,6 +103,36 @@ def prewarm(lengths, *, params, max_shift: int = 2, band: bool = True,
             timings.append((desc, dt))
             if log:
                 log(f"prewarmed {desc} in {dt:.2f}s")
+        if streaming:
+            # the StreamingAligner codes path: device LUT table build +
+            # packed/conveyor batched kernels, per (bucket, B-quantum)
+            import jax
+
+            from ..parallel import batch as pbatch
+
+            la = max(n, 1)
+            lb = max(m, 1)
+            pairs = [pbatch.encode_pair("A" * la, "A" * lb, "." * la,
+                                        "." * lb)] * streaming_batch
+            lut = pbatch.match_mismatch_lut(100, 0)
+            ptuple = ((beta, gamma, delta) if affine
+                      else (gamma, delta))
+            key = ("codes", (la + 63) // 64, (lb + 63) // 64,
+                   streaming_batch, affine)
+            if key not in seen:
+                seen.add(key)
+                t0 = time.perf_counter()
+                pbatch.dispatch_score_batch_codes(
+                    pairs, max_shift, ptuple, affine=affine,
+                    lut=jax.device_put(lut), structure_weight=400,
+                ).get()
+                dt = time.perf_counter() - t0
+                timings.append(
+                    (f"codes batch n={n} m={m} B={streaming_batch} "
+                     f"ms={max_shift}", dt))
+                if log:
+                    log(f"prewarmed codes batch n={n} m={m} "
+                        f"B={streaming_batch} in {dt:.2f}s")
         if traceback:
             from .. import BiAligner
 
@@ -130,6 +165,10 @@ def main(argv=None):
     ap.add_argument("--shift_cost", type=int, default=-250)
     ap.add_argument("--traceback", action="store_true",
                     help="also compile the on-device traceback walk")
+    ap.add_argument("--streaming", action="store_true",
+                    help="also compile the StreamingAligner codes-path "
+                    "batched kernels")
+    ap.add_argument("--streaming-batch", type=int, default=512)
     ns = ap.parse_args(argv)
 
     lengths = []
@@ -141,7 +180,10 @@ def main(argv=None):
     total = 0.0
     for S in ns.max_shift:
         for desc, dt in prewarm(lengths, params=params, max_shift=S,
-                                traceback=ns.traceback, log=print):
+                                traceback=ns.traceback,
+                                streaming=ns.streaming,
+                                streaming_batch=ns.streaming_batch,
+                                log=print):
             total += dt
     print(f"prewarm total {total:.2f}s")
 

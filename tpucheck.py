@@ -161,7 +161,7 @@ def _run_conveyor_codes_case():
 
     res = {"name": "conveyor_codes_150_250aa", "ok": False}
     try:
-        (seqA, strA), (seqB, strB) = _dnapol_mols()
+        seqA, strA, seqB, strB = _dnapol_mols()
         rng = random.Random(9)
         params = {"type": "Protein", "structure_weight": 800,
                   "simmatrix": "BLOSUM62", "gap_opening_cost": -150,
