@@ -676,10 +676,12 @@ def _require_int32_safe_codes(lut, sw, buckets, params, affine):
         )
 
 
-def _code_buckets(pairs, bucket_quantum: int):
+def _code_buckets(pairs, bucket_quantum: int, mesh=None):
     """Bucket (ca, cb, sa, sb) code-vector pairs by quantized shape;
     each bucket's ca/sa are padded to the LANE-padded row count so the
-    device build skips the lane pad."""
+    device build skips the lane pad.  With a mesh, the batch axis pads
+    to a (mesh size x PACK) multiple so every shard stays
+    packed-kernel eligible."""
     from ..ops.pallas_dp import LANES, PACK, _round_up
 
     buckets: dict = {}
@@ -695,10 +697,11 @@ def _code_buckets(pairs, bucket_quantum: int):
         b.n.append(n)
         b.m.append(m)
 
+    q = PACK if mesh is None else PACK * mesh.shape["data"]
     packed = {}
     for (N, M), b in buckets.items():
         B = len(b.indices)
-        Bp = ((B + PACK - 1) // PACK) * PACK
+        Bp = ((B + q - 1) // q) * q
         Ppad = _round_up(N + 1, LANES)
         ca = np.zeros((Bp, Ppad), dtype=np.uint8)
         sa = np.zeros((Bp, Ppad), dtype=np.uint8)
@@ -717,56 +720,129 @@ def _code_buckets(pairs, bucket_quantum: int):
     return packed
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_codes_fn(D, max_shift, params, sw, mesh, affine):
+    """Cached jitted shard_map of the codes-input batched score fill
+    over the "data" mesh axis (LUT replicated; each device builds its
+    shard's mu tables and runs the kernel chip-local)."""
+    from ..ops import pallas_dp
+
+    def shard_fn(lut, ca, cb, sa, sb, ns, ms):
+        return pallas_dp._pallas_batched_codes(
+            lut, ca, cb, sa, sb, ns, ms, D, max_shift, params, sw,
+            affine,
+        )
+
+    return jax.jit(jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(None, None), P("data"), P("data"), P("data"),
+                  P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    ))
+
+
+def _put_codes(mesh, lut, arrays):
+    """Device placement for one codes bucket: shard the batch-axis
+    arrays, replicate the LUT (no-ops without a mesh)."""
+    if mesh is None:
+        return lut, [jnp.asarray(a) for a in arrays]
+    lut_r = jax.device_put(jnp.asarray(lut),
+                           NamedSharding(mesh, P(None, None)))
+    return lut_r, [_device_put_sharded(jnp.asarray(a), mesh)
+                   for a in arrays]
+
+
 def dispatch_score_batch_codes(pairs, max_shift: int, params, *,
                                affine: bool, lut, structure_weight: int,
+                               mesh: Mesh | None = None,
                                bucket_quantum: int = 64) -> PendingScores:
     """Launch batched scoring from code vectors (see module section
     doc).  ``pairs``: list of :func:`encode_pair` tuples; ``lut``: a
     [256, 256] int32 device (or host) array — pass the SAME array
-    object across chunks so JAX reuses its device copy."""
+    object across chunks so JAX reuses its device copy.  With ``mesh``,
+    each bucket's batch axis is sharded over mesh axis "data"."""
     from ..ops import pallas_dp
 
     pairs = list(pairs)
-    packed = _code_buckets(pairs, bucket_quantum)
+    packed = _code_buckets(pairs, bucket_quantum, mesh)
     _require_int32_safe_codes(lut, structure_weight, packed, params,
                               affine)
     parts = []
     for (N, M), (indices, ca, cb, sa, sb, ns, ms) in packed.items():
         D = N + M + 1
-        dev = pallas_dp._pallas_batched_codes(
-            lut, jnp.asarray(ca), jnp.asarray(cb), jnp.asarray(sa),
-            jnp.asarray(sb), jnp.asarray(ns), jnp.asarray(ms),
-            D, max_shift, tuple(params), int(structure_weight), affine,
-        )
+        lut_d, arrs = _put_codes(mesh, lut, (ca, cb, sa, sb, ns, ms))
+        if mesh is not None:
+            fn = _sharded_codes_fn(D, max_shift, tuple(params),
+                                   int(structure_weight), mesh, affine)
+            dev = fn(lut_d, *arrs)
+        else:
+            dev = pallas_dp._pallas_batched_codes(
+                lut_d, *arrs, D, max_shift, tuple(params),
+                int(structure_weight), affine,
+            )
         parts.append((indices, dev))
     return PendingScores(len(pairs), parts)
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_align_codes_fn(D, max_shift, params, sw, mesh, affine):
+    """Cached jitted shard_map of the codes-input fused fill+walk."""
+
+    def shard_fn(lut, ca, cb, sa, sb, ns, ms):
+        return _fill_walk_codes(lut, ca, cb, sa, sb, ns, ms, D,
+                                max_shift, params, sw, affine)
+
+    return jax.jit(jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(None, None), P("data"), P("data"), P("data"),
+                  P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    ))
+
+
 def dispatch_align_batch_codes(pairs, max_shift: int, params, *,
                                affine: bool, lut, structure_weight: int,
+                               mesh: Mesh | None = None,
                                bucket_quantum: int = 64,
                                chunk: int | None = None
                                ) -> PendingAlignments:
     """Codes-input twin of :func:`dispatch_align_batch`."""
     pairs = list(pairs)
-    packed = _code_buckets(pairs, bucket_quantum)
+    packed = _code_buckets(pairs, bucket_quantum, mesh)
     _require_int32_safe_codes(lut, structure_weight, packed, params,
                               affine)
     parts = []
     for (N, M), (indices, ca, cb, sa, sb, ns, ms) in packed.items():
         D = N + M + 1
         bchunk = _auto_chunk(N, M, affine) if chunk is None else chunk
+        if mesh is not None:
+            ds = mesh.shape["data"]
+            bchunk = ((bchunk + ds - 1) // ds) * ds
         for lo in range(0, len(indices), bchunk):
             idxs = indices[lo:lo + bchunk]
-            hi = lo + len(idxs)          # drop the PACK pad rows here
+            hi = lo + len(idxs)
+            if mesh is not None:
+                ds = mesh.shape["data"]
+                hi = lo + ((len(idxs) + ds - 1) // ds) * ds
+                hi = min(hi, ca.shape[0])   # tail rides the bucket pad
             sl = slice(lo, hi)
-            dev = _fill_walk_codes(
-                lut, jnp.asarray(ca[sl]), jnp.asarray(cb[sl]),
-                jnp.asarray(sa[sl]), jnp.asarray(sb[sl]),
-                jnp.asarray(ns[sl]), jnp.asarray(ms[sl]),
-                D, max_shift, tuple(params), int(structure_weight),
-                affine,
-            )
+            lut_d, arrs = _put_codes(
+                mesh, lut, (ca[sl], cb[sl], sa[sl], sb[sl], ns[sl],
+                            ms[sl]))
+            if mesh is not None:
+                fn = _sharded_align_codes_fn(
+                    D, max_shift, tuple(params), int(structure_weight),
+                    mesh, affine)
+                dev = fn(lut_d, *arrs)
+            else:
+                dev = _fill_walk_codes(
+                    lut_d, *arrs, D, max_shift, tuple(params),
+                    int(structure_weight), affine,
+                )
             parts.append((idxs, affine, dev))
     return PendingAlignments(len(pairs), parts)
 

@@ -148,9 +148,10 @@ class StreamingAligner:
         the host link then carries O(n) bytes/pair instead of O(n*m)
         table ints (the measured wall on tunnel-attached TPUs; see
         bialign_tpu.parallel.batch codes section).  RNA keeps the host
-        tables (float64 mu2 parity), as does a sharded mesh."""
+        tables (float64 mu2 parity).  A mesh shards the codes batch
+        axis like the tables path."""
         self._codes_lut = None
-        if self.is_rna or self.mesh is not None:
+        if self.is_rna:
             return
         name = self.params.get("simmatrix")
         if name:
@@ -249,14 +250,14 @@ class StreamingAligner:
                 p = pbatch.dispatch_align_batch_codes(
                     pairs, self.max_shift, self.ptuple,
                     affine=self.affine, lut=self._codes_lut,
-                    structure_weight=self._sw,
+                    structure_weight=self._sw, mesh=self.mesh,
                     bucket_quantum=self.bucket_quantum,
                 )
             else:
                 p = pbatch.dispatch_score_batch_codes(
                     pairs, self.max_shift, self.ptuple,
                     affine=self.affine, lut=self._codes_lut,
-                    structure_weight=self._sw,
+                    structure_weight=self._sw, mesh=self.mesh,
                     bucket_quantum=self.bucket_quantum,
                 )
             cells = sum(

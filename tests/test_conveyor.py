@@ -170,6 +170,34 @@ def test_codes_path_match_mismatch_and_keyerror():
         list(sa2.run(iter(bad)))
 
 
+def test_codes_path_sharded_mesh():
+    """Codes dispatchers under an 8-device data mesh: scores AND traces
+    bit-exact vs the per-pair oracle."""
+    import random
+
+    from jax.sharding import Mesh
+
+    from bialign_tpu import BiAligner
+
+    devices = np.array(jax.devices())
+    mesh = Mesh(devices, ("data",))
+    recs = _protein_records(random.Random(13), 10)
+    sa = StreamingAligner(PARAMS, chunk_pairs=5, bucket_quantum=8,
+                          mesh=mesh, alignments=True)
+    assert sa._codes_lut is not None
+    got = {i: (s, t) for i, s, t in sa.run(iter(recs))}
+    for r in recs:
+        ba = BiAligner(r.seqA, r.seqB, r.strA, r.strB, engine="numpy",
+                       **PARAMS)
+        assert got[r.id][0] == ba.optimize()
+        assert got[r.id][1] == ba.traceback()
+    sa2 = StreamingAligner(PARAMS, chunk_pairs=5, bucket_quantum=8,
+                           mesh=mesh)
+    got2 = dict(sa2.run(iter(recs)))
+    for r in recs:
+        assert got2[r.id] == got[r.id][0]
+
+
 def test_rna_stream_keeps_host_tables():
     """RNA streams must NOT take the codes path (float64 mu2 parity)."""
     p = dict(type="RNA", structure_weight=400, gap_opening_cost=-200,
