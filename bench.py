@@ -228,6 +228,90 @@ def _fill_cells_fn(mu1, mu2, S, affine, expect, on_tpu):
     return measure
 
 
+def _conveyor_dnapol_fn(mu1, mu2, B=8):
+    """Genuine 4D-cells/s for B DNA-Pol-1 pairs through the CONVEYOR
+    kernel (prebuilt spliced step tables, scan-chain marginal timing —
+    the same methodology as the single-pair headline with its prebuilt
+    diagonal tables).  The conveyor overlaps each pair's triangular
+    wavefront ends with its neighbors', so sustained executed/genuine
+    ~= Ppad/(n+1) (~1.13x) instead of the lone pair's ~2.2x — this row
+    is the measured reclaim of that padding for corpus workloads."""
+    import jax
+    import jax.numpy as jnp
+
+    from bialign_tpu.ops import pallas_dp
+
+    n = mu1.shape[0] - 1
+    m = mu1.shape[1] - 1
+    S = 1
+    ptuple = (PARAMS["gap_opening_cost"], PARAMS["gap_cost"],
+              PARAMS["shift_cost"])
+    mu1b = np.broadcast_to(mu1, (B,) + mu1.shape)
+    mu2b = np.broadcast_to(mu2, (B,) + mu2.shape)
+    ns = np.full(B, n, np.int32)
+    ms = np.full(B, m, np.int32)
+    m1, m2 = pallas_dp._lane_pad_rows(jnp.asarray(mu1b),
+                                      jnp.asarray(mu2b))
+    Ppad = m1.shape[1]
+    SUB = Ppad // pallas_dp.LANES
+    T0 = pallas_dp._conveyor_T0(m, S)
+    G = pallas_dp._pick_chunk(S, Ppad, True, False)
+    T_total = (B - 1) * T0 + n + m + 1
+    T_pad = pallas_dp._round_up(T_total, max(G, 16))
+    W = 2 * S + 1
+
+    @jax.jit
+    def build(m1, m2, nsj, msj):
+        t = pallas_dp._conveyor_tables(m1, m2, nsj, msj, S, T0, T_pad)
+        mu1s, mu2s, dv, dl, nv = t
+        return (mu1s.reshape(T_pad, SUB, pallas_dp.LANES),
+                mu2s.reshape(T_pad, W * W * SUB, pallas_dp.LANES),
+                dv.reshape(T_pad, SUB, pallas_dp.LANES),
+                dl.reshape(T_pad, SUB, pallas_dp.LANES),
+                nv.reshape(T_pad, SUB, pallas_dp.LANES))
+
+    tabs = build(m1, m2, jnp.asarray(ns), jnp.asarray(ms))
+    tabs = [jax.device_put(jax.device_get(x)) for x in tabs]
+    nsd = jax.device_put(jnp.asarray(ns))
+    msd = jax.device_put(jnp.asarray(ms))
+
+    got = np.asarray(jax.device_get(pallas_dp._conveyor_run(
+        *tabs, nsd, msd, T0, S, ptuple, True)))
+    assert (got == 761500).all(), got
+
+    cells = B * (n + 1) * (m + 1) * (2 * S + 1) ** 2
+
+    def make_chain(K):
+        @jax.jit
+        def f(mu1f, mu2f, dvf, dlf, nvf):
+            def body(acc, kk):
+                s = pallas_dp._conveyor_run(
+                    mu1f + kk, mu2f, dvf, dlf, nvf, nsd, msd, T0, S,
+                    ptuple, True)
+                return jnp.maximum(acc, jnp.max(s.astype(jnp.int32))), None
+            acc, _ = jax.lax.scan(body, jnp.int32(-(1 << 30)),
+                                  jnp.arange(K, dtype=jnp.int32))
+            return acc
+        return f, tuple(tabs)
+
+    state = {"k_hi": None}
+
+    def measure():
+        if state["k_hi"] is None:
+            K = 8
+            while True:
+                per, span = _marginal_time(make_chain, 2, K)
+                if span >= 0.08 or K >= 2048:
+                    break
+                K = min(2048, K * 4)
+            state["k_hi"] = K
+            return cells / per
+        per, _ = _marginal_time(make_chain, 2, state["k_hi"])
+        return cells / per
+
+    return measure
+
+
 def _toy_tables(n_variants=1):
     """Toy-protein tables; ``n_variants`` > 1 mutates residues so pairs
     (hence traces) differ across the batch."""
@@ -517,6 +601,15 @@ def main():
                                      on_tpu))
     add("dnapol1_affine_ms0_4d_cells_per_s", v0, "cells/s",
         v0 / ((929 * 934) / 26.2), sp0)
+
+    # 1c. conveyor on 8 DNA-Pol pairs: sustained GENUINE cells/s with
+    # the triangular wavefront ends overlapped across pairs (the
+    # measured reclaim of the ~2.2x single-pair padding; kernel-only,
+    # prebuilt spliced tables — same methodology as metric 1)
+    if on_tpu:
+        vc, spc = _spread(_conveyor_dnapol_fn(mu1_ms1, mu2_ms1))
+        add("dnapol1_affine_ms1_conveyor_b8_cells_per_s", vc, "cells/s",
+            vc / base1, spc)
 
     # 2. affine ms2 (CLI default shift band)
     v2, sp2 = _spread(_fill_cells_fn(mu1_ms2, mu2_ms2, 2, True, None,

@@ -1700,7 +1700,6 @@ def _pallas_batched_conveyor(mu1p, mu2p, ns, ms, T0, max_shift, params,
     G = pick(S, Ppad, True, interpret)
     T_total = (B - 1) * T0 + (Ppad - 1) + (Mp - 1) + 1
     T_pad = _round_up(T_total, max(G, 16))
-    Tg = T_pad // G
 
     mu1s, mu2s, dv, dl, nv = _conveyor_tables(mu1p, mu2p, ns, ms, S, T0,
                                               T_pad)
@@ -1709,6 +1708,24 @@ def _pallas_batched_conveyor(mu1p, mu2p, ns, ms, T0, max_shift, params,
     dvf = dv.reshape(T_pad, SUB, LANES)
     dlf = dl.reshape(T_pad, SUB, LANES)
     nvf = nv.reshape(T_pad, SUB, LANES)
+    return _conveyor_run(mu1f, mu2f, dvf, dlf, nvf, ns, ms, T0, S,
+                         params, affine)
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+def _conveyor_run(mu1f, mu2f, dvf, dlf, nvf, ns, ms, T0, max_shift,
+                  params, affine):
+    """Kernel half of the conveyor: runs on prebuilt spliced step
+    tables (the bench times this separately, mirroring the single-pair
+    headline's prebuilt-diagonal-table methodology)."""
+    S = max_shift
+    W = 2 * S + 1
+    T_pad, SUB, _ = mu1f.shape
+    B = ns.shape[0]
+    interpret = not _on_tpu()
+    pick = _pick_chunk if affine else _pick_chunk_nonaffine
+    G = pick(S, SUB * LANES, True, interpret)
+    Tg = T_pad // G
 
     kernel = _conveyor_kernel(G, S, params, SUB, affine)
     Q = N_STATES
