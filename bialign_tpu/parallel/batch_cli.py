@@ -59,6 +59,13 @@ def add_batch_parameters(parser: argparse.ArgumentParser) -> None:
                         "record carries the packed trace codes (decode "
                         "via bialign_tpu.parallel.driver.trace_from_codes"
                         " + render.decode)")
+    parser.add_argument("--render", action="store_true",
+                        help="with --alignments: also print each pair's "
+                        "decoded alignment lines (reference outmode "
+                        "rendering) after its JSON record")
+    parser.add_argument("--outmode", default="default",
+                        help="outmode for --render (reference modes, "
+                        "prefix-completed)")
     parser.add_argument("--chunk_pairs", type=int, default=256)
     parser.add_argument("--bucket_quantum", type=int, default=64)
     parser.add_argument("--distributed", action="store_true",
@@ -76,6 +83,21 @@ def add_batch_parameters(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--shift_cost", type=int, default=-250)
     parser.add_argument("--max_shift", type=int, default=2)
     parser.add_argument("--simmatrix", default=None)
+
+
+def _render_one(rec, trace, ns) -> None:
+    """Decode one spooled trace to the reference's alignment lines
+    (render.decode, same rows/outmodes as the single-pair CLI)."""
+    from ..models.molecule import preprocess_molecule
+    from ..render import decode as rd
+
+    is_rna = ns.type == "RNA"
+    molA = preprocess_molecule(rec.seqA, rec.strA, is_rna=is_rna)
+    molB = preprocess_molecule(rec.seqB, rec.strB, is_rna=is_rna)
+    full = rd.decode_trace_full(trace, molA, molB, nameA=rec.id + ".A",
+                                nameB=rec.id + ".B", is_rna=is_rna)
+    for line in rd.decode_trace(full, outmode=ns.outmode):
+        print(line)
 
 
 def main(argv=None) -> int:
@@ -112,6 +134,12 @@ def main(argv=None) -> int:
         bucket_quantum=ns.bucket_quantum, process_index=pidx,
         process_count=pcount, alignments=ns.alignments,
     )
+    if ns.render and not ns.alignments:
+        parser.error("--render requires --alignments")
+    recs_by_id = {}
+    if ns.render:
+        recs_by_id = {r.id: r for r in _iter_pairs(ns.pairs_tsv)}
+
     n_done = 0
     for result in sa.run(_iter_pairs(ns.pairs_tsv)):
         if ns.alignments:
@@ -122,6 +150,8 @@ def main(argv=None) -> int:
             pid, score = result
             rec = {"id": pid, "score": score}
         print(json.dumps(rec))
+        if ns.render:
+            _render_one(recs_by_id[pid], trace, ns)
         n_done += 1
     print(f"# {n_done} pairs done (process {pidx}/{pcount})",
           file=sys.stderr)

@@ -199,3 +199,10 @@ def test_batch_cli_scores_and_alignments(tmp_path, capsys):
     recs2 = [_json.loads(ln) for ln in
              capsys.readouterr().out.splitlines() if ln]
     assert recs2 and all(r["trace"] for r in recs2)
+
+    # --render decodes each trace to the reference alignment lines
+    spool3 = tmp_path / "ren.jsonl"
+    args3 = [a if a != str(spool) else str(spool3) for a in args]
+    assert batch_main(args3 + ["--alignments", "--render"]) == 0
+    out3 = capsys.readouterr().out
+    assert "p0.A " in out3 and "p0.B ss" in out3 and "p2.A shifts" in out3
