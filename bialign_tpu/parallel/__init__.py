@@ -6,10 +6,18 @@ package is the TPU-native scale-out layer.
 """
 
 from .batch import (
+    PendingAlignments,
+    PendingScores,
     PreparedBatch,
     align_batch,
+    dispatch_align_batch,
+    dispatch_align_batch_codes,
+    dispatch_score_batch,
+    dispatch_score_batch_codes,
+    encode_pair,
     make_buckets,
     make_buckets_dense,
+    match_mismatch_lut,
     score_batch,
 )
 from .driver import (
@@ -25,14 +33,22 @@ from .seqsplit import fill_seqsplit, score_seqsplit
 
 __all__ = [
     "PairRecord",
+    "PendingAlignments",
+    "PendingScores",
     "PreparedBatch",
     "align_batch",
     "ResultSpool",
     "StreamingAligner",
+    "dispatch_align_batch",
+    "dispatch_align_batch_codes",
+    "dispatch_score_batch",
+    "dispatch_score_batch_codes",
+    "encode_pair",
     "fill_seqsplit",
     "init_distributed",
     "make_buckets",
     "make_buckets_dense",
+    "match_mismatch_lut",
     "merge_spools",
     "score_batch",
     "score_seqsplit",
