@@ -89,6 +89,29 @@ def test_conveyor_single_pair_and_identical_lengths():
     assert one[0] == got[0]
 
 
+def test_skew_and_shift_primitives():
+    """_skew (pad+reshape shear) and _shifted against their index
+    definitions — these carry every gather-free table build."""
+    rng = np.random.default_rng(2)
+    a = rng.integers(-50, 50, (5, 7)).astype(np.int32)
+    for D_pad in (7, 9, 16, 30):
+        got = np.asarray(pallas_dp._skew(jnp.asarray(a), D_pad))
+        assert got.shape == (5, D_pad)
+        for i in range(5):
+            for d in range(D_pad):
+                want = a[i, d - i] if 0 <= d - i < 7 else 0
+                assert got[i, d] == want, (i, d)
+    for dk in (-2, 0, 1):
+        for dl in (-1, 0, 2):
+            got = np.asarray(pallas_dp._shifted(jnp.asarray(a), dk, dl))
+            for i in range(5):
+                for j in range(7):
+                    want = (a[i + dk, j + dl]
+                            if 0 <= i + dk < 5 and 0 <= j + dl < 7
+                            else 0)
+                    assert got[i, j] == want, (dk, dl, i, j)
+
+
 def test_conveyor_safety_cert():
     """Adversarial params must push the routing off the conveyor
     (garbage-drift int32 cert), never produce wrong scores."""
