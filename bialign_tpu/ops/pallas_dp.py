@@ -1563,8 +1563,15 @@ def _conveyor_T0(M: int, S: int) -> int:
     """Phase offset between consecutive pairs: stripe ordering needs
     pair k's live-window floor (d - m >= t - k*T0 - M) to stay above
     pair k+1's ceiling (d' = t - (k+1)*T0), with 2 rows of slack for
-    the two-diagonals-back predecessor."""
-    return M + 2 + 2 * S
+    the two-diagonals-back predecessor.  The extra _CHUNK_CAP term
+    guarantees score-capture separation: two pairs with EQUAL n share
+    an accumulator slot, and their captures are T0 - (m_b - m_{b+1})
+    >= 2 + 2S + _CHUNK_CAP > G global steps apart, so they always land
+    in different grid steps and the earlier snapshot reaches its HBM
+    out row before the overwrite (without this, a bucket like
+    (n=150, m=64) followed by (n=150, m=3) silently returned the
+    second pair's score for both — caught by review)."""
+    return M + 2 + 2 * S + _CHUNK_CAP
 
 
 def _conveyor_safe_T(params, affine: bool) -> int:
@@ -1755,7 +1762,10 @@ def _conveyor_run(mu1f, mu2f, dvf, dlf, nvf, ns, ms, T0, max_shift,
         ),
     )(mu1f, mu2f, dvf, dlf, nvf)
     # pair b's snapshot lives from grid step (b*T0 + n_b + m_b) // G
-    # until its acc slot is overwritten >= T0 > G steps later
+    # until its acc slot is overwritten — the earliest same-slot
+    # (equal-n) overwrite is T0 - (m_b - m_{b+1}) >= 2 + 2S +
+    # _CHUNK_CAP > G steps later (see _conveyor_T0), i.e. always in a
+    # LATER grid step than the out row being read here
     caps = (jnp.arange(B, dtype=jnp.int32) * T0 + ns + ms) // G
     return out[caps, ns // LANES, ns % LANES]
 

@@ -295,16 +295,15 @@ def dispatch_score_batch(tables, max_shift: int, params, *, affine: bool,
         buckets = make_buckets_dense(tables, bucket_quantum)
         for (N, M), b in buckets.items():
             B = len(b.indices)
+            # round the batch up to a PACK (x mesh-size) multiple so
+            # small buckets — and every per-device SHARD of them — stay
+            # eligible for the sublane-packed kernel (falling to the
+            # SUB=1 kernel wastes 7/8 of every vreg) and compile keys
+            # quantize
+            q = pallas_dp.PACK
             if mesh is not None:
-                ds = mesh.shape["data"]
-                Bp = ((B + ds - 1) // ds) * ds
-            else:
-                # round the batch up to a PACK multiple so small
-                # buckets stay eligible for the sublane-packed kernel
-                # (a 435-pair bucket falling to the SUB=1 kernel wastes
-                # 7/8 of every vreg) and compile keys quantize
-                Bp = ((B + pallas_dp.PACK - 1)
-                      // pallas_dp.PACK) * pallas_dp.PACK
+                q *= mesh.shape["data"]
+            Bp = ((B + q - 1) // q) * q
             pad = Bp - B
             D = N + M + 1
             # narrow the STACKED arrays (not per table) so a bucket always
@@ -529,7 +528,7 @@ class PendingAlignments:
         return scores, traces, complete
 
 
-def _auto_chunk(N: int, M: int, affine: bool,
+def _auto_chunk(N: int, M: int, max_shift: int, affine: bool,
                 budget: int = 2 << 30) -> int:
     """Pairs per fused fill+walk dispatch, sized so one chunk's HBM
     band stays under ``budget`` bytes: every dispatch is a host-link
@@ -538,12 +537,12 @@ def _auto_chunk(N: int, M: int, affine: bool,
     from ..ops.cases import N_STATES
     from ..ops.pallas_dp import LANES, _round_up
 
-    W3 = 9   # W^2 at the default max_shift 1; conservative upper bound
+    W2 = (2 * max_shift + 1) ** 2
     Ppad = _round_up(N + 1, LANES)
     D_pad = _round_up(N + M + 1, 16)
     q = N_STATES if affine else 1
-    per_pair = D_pad * q * W3 * Ppad * 4
-    return max(16, min(1024, budget // max(per_pair, 1)))
+    per_pair = D_pad * q * W2 * Ppad * 4
+    return max(8, min(1024, budget // max(per_pair, 1)))
 
 
 def dispatch_align_batch(tables, max_shift: int, params, *, affine: bool,
@@ -563,7 +562,8 @@ def dispatch_align_batch(tables, max_shift: int, params, *, affine: bool,
     parts = []
     for (N, M), b in buckets.items():
         D = N + M + 1
-        bchunk = _auto_chunk(N, M, affine) if chunk is None else chunk
+        bchunk = (_auto_chunk(N, M, max_shift, affine)
+                  if chunk is None else chunk)
         for lo in range(0, len(b.indices), bchunk):
             idxs = b.indices[lo:lo + bchunk]
             B = len(idxs)
@@ -818,7 +818,8 @@ def dispatch_align_batch_codes(pairs, max_shift: int, params, *,
     parts = []
     for (N, M), (indices, ca, cb, sa, sb, ns, ms) in packed.items():
         D = N + M + 1
-        bchunk = _auto_chunk(N, M, affine) if chunk is None else chunk
+        bchunk = (_auto_chunk(N, M, max_shift, affine)
+                  if chunk is None else chunk)
         if mesh is not None:
             ds = mesh.shape["data"]
             bchunk = ((bchunk + ds - 1) // ds) * ds
@@ -876,15 +877,12 @@ class PreparedBatch:
         self._buckets = []
         for (N, M), b in make_buckets_dense(tables, bucket_quantum).items():
             B = len(b.indices)
-            if mesh is not None:
-                ds = mesh.shape["data"]
-                Bp = ((B + ds - 1) // ds) * ds
-            else:
-                # PACK-multiple pad: keep the sublane-packed kernel
-                # eligible (see dispatch_score_batch)
-                from ..ops.pallas_dp import PACK
+            # PACK (x mesh-size) pad: keep every shard packed-kernel
+            # eligible (see dispatch_score_batch)
+            from ..ops.pallas_dp import PACK
 
-                Bp = ((B + PACK - 1) // PACK) * PACK
+            q = PACK if mesh is None else PACK * mesh.shape["data"]
+            Bp = ((B + q - 1) // q) * q
             pad = Bp - B
             mu1p = _narrow_if_fits(stack_padded(b.mu1d, N, M, pad))
             mu2p = _narrow_if_fits(stack_padded(b.mu2d, N, M, pad))

@@ -136,12 +136,21 @@ def main(argv=None) -> int:
     )
     if ns.render and not ns.alignments:
         parser.error("--render requires --alignments")
-    recs_by_id = {}
-    if ns.render:
-        recs_by_id = {r.id: r for r in _iter_pairs(ns.pairs_tsv)}
+    # records needed for rendering are retained only between dispatch
+    # and harvest (~2 chunks, the driver's double-buffer depth) — NOT
+    # the whole corpus; records the spool already covers are skipped at
+    # insert like the driver does, so a resumed run stays bounded too
+    pending: dict = {}
+
+    def tracked(records):
+        for r in records:
+            if ns.render and not (sa.spool is not None
+                                  and sa.spool.is_done(r.id)):
+                pending[r.id] = r
+            yield r
 
     n_done = 0
-    for result in sa.run(_iter_pairs(ns.pairs_tsv)):
+    for result in sa.run(tracked(_iter_pairs(ns.pairs_tsv))):
         if ns.alignments:
             pid, score, trace = result
             rec = {"id": pid, "score": score,
@@ -151,7 +160,14 @@ def main(argv=None) -> int:
             rec = {"id": pid, "score": score}
         print(json.dumps(rec))
         if ns.render:
-            _render_one(recs_by_id[pid], trace, ns)
+            rrec = pending.pop(pid, None)
+            if rrec is None:
+                # duplicate pair id: the trace/record pairing is
+                # ambiguous — refuse to render misleading lines
+                print(f"# {pid}: duplicate id, not rendering",
+                      file=sys.stderr)
+            else:
+                _render_one(rrec, trace, ns)
         n_done += 1
     print(f"# {n_done} pairs done (process {pidx}/{pcount})",
           file=sys.stderr)

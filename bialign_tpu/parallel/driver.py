@@ -119,7 +119,7 @@ class StreamingAligner:
     def __init__(self, params: dict, *, mesh=None, spool_path: str | None
                  = None, chunk_pairs: int = 256, bucket_quantum: int = 64,
                  process_index: int = 0, process_count: int = 1,
-                 alignments: bool = False):
+                 alignments: bool = False, codes: str | bool = "auto"):
         from ..aligner import PARAM_DEFAULTS
 
         self.params = dict(PARAM_DEFAULTS)
@@ -131,6 +131,7 @@ class StreamingAligner:
         self.process_index = process_index
         self.process_count = process_count
         self.alignments = alignments
+        self.codes = codes
         self.stats = RunStats()
 
         self.max_shift = int(self.params["max_shift"])
@@ -149,9 +150,17 @@ class StreamingAligner:
         table ints (the measured wall on tunnel-attached TPUs; see
         bialign_tpu.parallel.batch codes section).  RNA keeps the host
         tables (float64 mu2 parity).  A mesh shards the codes batch
-        axis like the tables path."""
+        axis like the tables path.
+
+        ``codes="auto"`` engages only on a TPU: the codes kernels are
+        Pallas-only, and off-TPU they would run the Python Pallas
+        interpreter — orders of magnitude slower than the compiled
+        vmapped XLA scan the tables path selects there.  ``codes=True``
+        forces it anywhere (the CPU test tier), ``False`` disables."""
         self._codes_lut = None
-        if self.is_rna:
+        if self.is_rna or self.codes is False:
+            return
+        if self.codes == "auto" and not pbatch._on_tpu():
             return
         name = self.params.get("simmatrix")
         if name:

@@ -117,14 +117,18 @@ def prewarm(lengths, *, params, max_shift: int = 2, band: bool = True,
             lut = pbatch.match_mismatch_lut(100, 0)
             ptuple = ((beta, gamma, delta) if affine
                       else (gamma, delta))
+            # structure_weight is a STATIC jit arg of the codes kernels:
+            # compiling with a different value than production would
+            # miss the cache and defeat the prewarm entirely
+            sw = int(params.get("structure_weight", 400))
             key = ("codes", (la + 63) // 64, (lb + 63) // 64,
-                   streaming_batch, affine)
+                   streaming_batch, affine, sw)
             if key not in seen:
                 seen.add(key)
                 t0 = time.perf_counter()
                 pbatch.dispatch_score_batch_codes(
                     pairs, max_shift, ptuple, affine=affine,
-                    lut=jax.device_put(lut), structure_weight=400,
+                    lut=jax.device_put(lut), structure_weight=sw,
                 ).get()
                 dt = time.perf_counter() - t0
                 timings.append(
@@ -163,6 +167,7 @@ def main(argv=None):
     ap.add_argument("--gap_opening_cost", type=int, default=0)
     ap.add_argument("--gap_cost", type=int, default=-200)
     ap.add_argument("--shift_cost", type=int, default=-250)
+    ap.add_argument("--structure_weight", type=int, default=400)
     ap.add_argument("--traceback", action="store_true",
                     help="also compile the on-device traceback walk")
     ap.add_argument("--streaming", action="store_true",
@@ -176,7 +181,8 @@ def main(argv=None):
         n, _, m = tok.partition("x")
         lengths.append((int(n), int(m or n)))
     params = dict(gap_opening_cost=ns.gap_opening_cost,
-                  gap_cost=ns.gap_cost, shift_cost=ns.shift_cost)
+                  gap_cost=ns.gap_cost, shift_cost=ns.shift_cost,
+                  structure_weight=ns.structure_weight)
     total = 0.0
     for S in ns.max_shift:
         for desc, dt in prewarm(lengths, params=params, max_shift=S,

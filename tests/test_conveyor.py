@@ -112,6 +112,24 @@ def test_skew_and_shift_primitives():
                     assert got[i, j] == want, (dk, dl, i, j)
 
 
+def test_conveyor_capture_collision_regression(monkeypatch):
+    """Two equal-n pairs whose m differ by almost the bucket M capture
+    into the SAME accumulator slot only T0 - (m0 - m1) steps apart;
+    with the TPU chunk size G=16 (forced here — interpret mode
+    otherwise uses G=1) the captures must still land in different grid
+    steps or pair 0 silently returns pair 1's score.  _conveyor_T0's
+    +_CHUNK_CAP term guarantees the separation; this reproduces the
+    review-caught failure ((150,64)+(150,3) returned pair 1's score
+    for both before the fix)."""
+    rng = np.random.default_rng(40)
+    monkeypatch.setattr(pallas_dp, "_pick_chunk",
+                        lambda *a, **k: 16)
+    pairs = [_rand_pair(rng, 150, 64), _rand_pair(rng, 150, 3)]
+    got = _conveyor_scores(pairs, 1, AFF, True)
+    want = _oracle(pairs, 1, AFF, True)
+    assert (got == want).all(), (got, want)
+
+
 def test_conveyor_safety_cert():
     """Adversarial params must push the routing off the conveyor
     (garbage-drift int32 cert), never produce wrong scores."""
@@ -160,7 +178,7 @@ def test_codes_path_matches_bialigner():
 
     recs = _protein_records(random.Random(3), 8)
     sa = StreamingAligner(PARAMS, chunk_pairs=4, bucket_quantum=8,
-                          alignments=True)
+                          alignments=True, codes=True)
     assert sa._codes_lut is not None, "codes path should be active"
     got = {i: (s, t) for i, s, t in sa.run(iter(recs))}
     for r in recs:
@@ -177,7 +195,8 @@ def test_codes_path_match_mismatch_and_keyerror():
 
     p2 = dict(PARAMS, simmatrix=None)
     recs = _protein_records(random.Random(5), 4)
-    sa = StreamingAligner(p2, chunk_pairs=4, bucket_quantum=8)
+    sa = StreamingAligner(p2, chunk_pairs=4, bucket_quantum=8,
+                          codes=True)
     assert sa._codes_lut is not None
     got = dict(sa.run(iter(recs)))
     for r in recs:
@@ -186,7 +205,7 @@ def test_codes_path_match_mismatch_and_keyerror():
         assert got[r.id] == ba.optimize()
 
     # unknown residue raises KeyError like the reference's dict access
-    sa2 = StreamingAligner(PARAMS, chunk_pairs=4)
+    sa2 = StreamingAligner(PARAMS, chunk_pairs=4, codes=True)
     bad = [PairRecord(id="bad", seqA="AX?", seqB="ARN", strA="CCC",
                       strB="CCC")]
     with pytest.raises(KeyError):
@@ -206,7 +225,7 @@ def test_codes_path_sharded_mesh():
     mesh = Mesh(devices, ("data",))
     recs = _protein_records(random.Random(13), 10)
     sa = StreamingAligner(PARAMS, chunk_pairs=5, bucket_quantum=8,
-                          mesh=mesh, alignments=True)
+                          mesh=mesh, alignments=True, codes=True)
     assert sa._codes_lut is not None
     got = {i: (s, t) for i, s, t in sa.run(iter(recs))}
     for r in recs:
@@ -215,7 +234,7 @@ def test_codes_path_sharded_mesh():
         assert got[r.id][0] == ba.optimize()
         assert got[r.id][1] == ba.traceback()
     sa2 = StreamingAligner(PARAMS, chunk_pairs=5, bucket_quantum=8,
-                           mesh=mesh)
+                           mesh=mesh, codes=True)
     got2 = dict(sa2.run(iter(recs)))
     for r in recs:
         assert got2[r.id] == got[r.id][0]
