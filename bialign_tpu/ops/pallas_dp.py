@@ -1296,7 +1296,7 @@ def _route_batched(mu1p, mu2p, ns, ms, D, S, params, affine, score_only):
         mu1d, mu2d = jax.vmap(build)(mu1p, mu2p)
         return _pallas_batched_packed(mu1d, mu2d, ns, ms, D_pad, S,
                                       params, affine)
-    if _use_conveyor(score_only, B, Ppad, params, affine, T0):
+    if _use_conveyor(score_only, B, Ppad, params, affine, T0, Mp):
         return _pallas_batched_conveyor(mu1p, mu2p, ns, ms, T0, S,
                                         params, affine)
     build = functools.partial(_diag_tables_device, S=S, D_pad=D_pad)
@@ -1835,10 +1835,11 @@ _CONVEYOR_MIN_PPAD = 2 * LANES
 
 
 def _use_conveyor(score_only: bool, B: int, Ppad: int, params,
-                  affine: bool, T0: int) -> bool:
+                  affine: bool, T0: int, Mp: int = 0) -> bool:
     if not score_only or B < 2 or Ppad < _CONVEYOR_MIN_PPAD:
         return False
-    return (B - 1) * T0 + 2 * Ppad < _conveyor_safe_T(params, affine)
+    t_total = (B - 1) * T0 + Ppad + max(Mp, Ppad)
+    return t_total < _conveyor_safe_T(params, affine)
 
 
 def _on_tpu() -> bool:
