@@ -657,8 +657,17 @@ def match_mismatch_lut(match: int, mismatch: int) -> np.ndarray:
 def _require_int32_safe_codes(lut, sw, buckets, params, affine):
     """Codes-path twin of :func:`_require_int32_safe`: the mu magnitude
     bound comes from the LUT and structure weight instead of per-pair
-    tables."""
+    tables.  Additionally requires |LUT| < 2^24: the device LUT
+    application is an exact one-hot f32 contraction ONLY while every
+    entry is f32-representable (the int32 drift cert alone would admit
+    larger values for very short pairs)."""
     amax = max(int(np.abs(np.asarray(lut)).max()), abs(int(sw)))
+    if int(np.abs(np.asarray(lut)).max()) >= (1 << 24):
+        raise ValueError(
+            "similarity-matrix values must stay below 2^24 for the "
+            "codes path's exact f32 LUT contraction; use the tables "
+            "path (score_batch) for larger scores"
+        )
     if affine:
         beta, gamma, delta = params
     else:

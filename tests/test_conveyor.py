@@ -240,6 +240,16 @@ def test_codes_path_sharded_mesh():
         assert got2[r.id] == got[r.id][0]
 
 
+def test_codes_path_rejects_f32_unsafe_lut():
+    """LUT values >= 2^24 would break the one-hot f32 contraction's
+    exactness — the codes dispatch must refuse them loudly."""
+    lut = pbatch.match_mismatch_lut(1 << 24, 0)
+    pairs = [pbatch.encode_pair("AR", "AR", "CC", "CC")]
+    with pytest.raises(ValueError, match="2\\^24"):
+        pbatch.dispatch_score_batch_codes(
+            pairs, 1, AFF, affine=True, lut=lut, structure_weight=100)
+
+
 def test_rna_stream_keeps_host_tables():
     """RNA streams must NOT take the codes path (float64 mu2 parity)."""
     p = dict(type="RNA", structure_weight=400, gap_opening_cost=-200,
